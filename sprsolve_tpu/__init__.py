@@ -1,0 +1,49 @@
+"""sprsolve_tpu — TPU-native sparse iterative linear solvers.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+``sprsolve`` Rust crate (BiCGStab, MINRES, CS-MINRES, Gauss-Seidel over
+CSR/COO/ELL/DIA sparse matrices, f32/f64/c64/c128, diagonal preconditioning),
+re-designed for TPU: solvers are jittable ``lax.while_loop`` programs over
+operator pytrees, SpMV executes in regular ELL/DIA layouts (with Pallas
+kernels for the hot paths), and multi-chip scaling uses row-partitioned
+operators under ``shard_map`` with psum inner products and halo exchange.
+
+Public surface mirrors the reference re-exports (``src/lib.rs:15-21``).
+"""
+
+from . import errors, precond, vecalg
+from .api import BiCGStab, CSMinRes, GaussSeidel, MinRes
+from .errors import SolveInfo, SolverError, Status
+from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
+from .precond import DiagPrecond
+from .solvers import bicgstab, cs_minres, gauss_seidel, minres
+from .sparse import COO, CSR, DIA, ELL, csr_from_dense, csr_from_scipy
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BiCGStab",
+    "MinRes",
+    "CSMinRes",
+    "GaussSeidel",
+    "bicgstab",
+    "minres",
+    "cs_minres",
+    "gauss_seidel",
+    "COO",
+    "CSR",
+    "ELL",
+    "DIA",
+    "csr_from_dense",
+    "csr_from_scipy",
+    "LinearOperator",
+    "IdentityOperator",
+    "DiagonalOperator",
+    "DiagPrecond",
+    "SolveInfo",
+    "SolverError",
+    "Status",
+    "errors",
+    "precond",
+    "vecalg",
+]

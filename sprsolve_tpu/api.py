@@ -1,0 +1,131 @@
+"""Object-style API mirroring the reference's public surface (``src/lib.rs:15-21``).
+
+A user of the reference writes::
+
+    let mut solver = sprsolve::BiCGStab::new(&lap, n);
+    let (iters, res) = solver.solve(rhs, x, 1500, 1e-17).unwrap();
+
+The equivalent here::
+
+    solver = sprsolve_tpu.BiCGStab.new(A, n)
+    x, (iters, res) = solver.solve(b, x0, 1500, 1e-17)
+
+``solve``/``precond_solve`` jit-compile the underlying functional solver once
+per (operator structure, shape, dtype) and raise the matching
+:class:`~sprsolve_tpu.errors.SolverError` subclass on failure — the analog of
+``.unwrap()``.  The functional API (``sprsolve_tpu.solvers``) is the
+jit-composable form; this layer is the drop-in convenience form.
+
+There is no explicit preallocated workspace (``src/bicg_stab.rs:25-31``): the
+while_loop carry *is* the workspace and XLA buffer donation reuses it across
+iterations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .errors import IncompatibleMatrixFormat
+from .ops.operator import as_operator
+from .solvers import bicgstab, cs_minres, gauss_seidel, minres
+from .sparse.containers import CSR, ELL
+
+
+def _run(fn, A, b, x, max_iter, tol, M=None):
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+    kwargs = dict(tol=tol, max_iter=max_iter)
+    if M is not None:
+        kwargs["M"] = M
+    xr, info = jax.jit(partial(fn, **kwargs))(A, b, x)
+    info.raise_if_error()
+    return xr, (int(info.iterations), float(info.residual))
+
+
+class BiCGStab:
+    """BiCGStab solver handle (reference ``src/bicg_stab.rs:25-31``)."""
+
+    def __init__(self, A, size: int):
+        self.A = as_operator(A)
+        if self.A.shape[1] != size:
+            raise IncompatibleMatrixFormat(
+                "Input vec dimension doesn't match the matrix size"
+            )
+        self.size = size
+
+    new = classmethod(lambda cls, A, size: cls(A, size))
+
+    def solve(self, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
+        return _run(bicgstab, self.A, rhs, x, max_iter, tol)
+
+    def precond_solve(self, precond, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
+        return _run(bicgstab, self.A, rhs, x, max_iter, tol, M=precond)
+
+
+class MinRes:
+    """MINRES solver handle (reference ``src/minres.rs:21-27``)."""
+
+    def __init__(self, A, size: int):
+        self.A = as_operator(A)
+        if self.A.shape[1] != size:
+            raise IncompatibleMatrixFormat(
+                "Input vec dimension doesn't match the matrix size"
+            )
+        self.size = size
+
+    new = classmethod(lambda cls, A, size: cls(A, size))
+
+    def solve(self, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
+        return _run(minres, self.A, rhs, x, max_iter, tol)
+
+    def precond_solve(self, precond, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
+        return _run(minres, self.A, rhs, x, max_iter, tol, M=precond)
+
+
+class CSMinRes:
+    """Complex-symmetric MINRES handle (reference ``src/cs_minres.rs:17-25``)."""
+
+    def __init__(self, A, size: int):
+        self.A = as_operator(A)
+        if self.A.shape[1] != size:
+            raise IncompatibleMatrixFormat(
+                "Input vec dimension doesn't match the matrix size"
+            )
+        self.size = size
+
+    new = classmethod(lambda cls, A, size: cls(A, size))
+
+    def solve(self, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
+        return _run(cs_minres, self.A, rhs, x, max_iter, tol)
+
+
+class GaussSeidel:
+    """Gauss-Seidel handle (reference ``src/gauss_seidel.rs:13-31``).
+
+    Accepts CSR or ELL; CSR is converted to the ELL execution layout once at
+    construction. Raises on non-square input like the reference ``new``.
+    """
+
+    def __init__(self, A):
+        if isinstance(A, CSR):
+            A = A.to_ell()
+        if not isinstance(A, ELL):
+            raise IncompatibleMatrixFormat("Not in CSR format")
+        if A.shape[0] != A.shape[1]:
+            raise IncompatibleMatrixFormat("Not a square matrix")
+        self.A = A
+
+    new = classmethod(lambda cls, A: cls(A))
+
+    def solve(self, rhs, x=None, max_iter: int = 1000, eps: float = 0.0):
+        b = jnp.asarray(rhs)
+        x = jnp.zeros_like(b) if x is None else jnp.asarray(x)
+        xr, info = jax.jit(
+            partial(gauss_seidel, max_iter=max_iter, eps=eps)
+        )(self.A, b, x)
+        info.raise_if_error()
+        return xr, (int(info.iterations), float(info.residual))

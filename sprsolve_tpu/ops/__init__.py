@@ -1,0 +1,15 @@
+"""Compute kernels: SpMV implementations and the LinearOperator protocol."""
+
+from .operator import LinearOperator, IdentityOperator, DiagonalOperator, as_operator
+from .spmv import spmv_coo, spmv_csr, spmv_ell, spmv_dia
+
+__all__ = [
+    "LinearOperator",
+    "IdentityOperator",
+    "DiagonalOperator",
+    "as_operator",
+    "spmv_coo",
+    "spmv_csr",
+    "spmv_ell",
+    "spmv_dia",
+]

@@ -1,0 +1,117 @@
+"""The LinearOperator protocol — TPU-native analog of the reference's
+``MatVecMul`` trait (``src/mat.rs:12-37``).
+
+Anything with ``shape``, ``dtype``, ``matvec(x)`` and ``matvec_dot(x)`` is an
+operator: the sparse containers, the preconditioners, and the distributed
+row-partitioned wrappers all satisfy it, so every solver is generic over the
+operator exactly as the reference solvers are generic over ``M: MatVecMul<T>``.
+
+There is no "unchecked" variant: dimension checks happen at trace time against
+static shapes (the checked/unchecked split is a bounds-check-elision idiom that
+has no XLA counterpart).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Protocol, Tuple, runtime_checkable
+
+import jax
+import jax.numpy as jnp
+
+
+@runtime_checkable
+class LinearOperator(Protocol):
+    shape: Tuple[int, int]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """y = A·x (reference ``mul_vec``)."""
+        ...
+
+    def matvec_dot(self, x: jax.Array):
+        """(A·x, conj(x)·A·x) — fused SpMV+dot, mirrors ``mkl_sparse_?_dotmv``
+        (``src/mat.rs:19-22``). XLA fuses the dot into the SpMV pass."""
+        ...
+
+
+@dataclasses.dataclass(frozen=True)
+class IdentityOperator:
+    n: int
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return x
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        return x, conj_dot(x, x)
+
+
+jax.tree_util.register_dataclass(IdentityOperator, data_fields=(), meta_fields=("n",))
+
+
+@dataclasses.dataclass(frozen=True)
+class DiagonalOperator:
+    """y = diag ⊙ x. Also the apply-form of the diagonal preconditioner."""
+
+    diag: jax.Array
+
+    @property
+    def shape(self):
+        n = self.diag.shape[0]
+        return (n, n)
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return x * self.diag
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = x * self.diag
+        return y, conj_dot(x, y)
+
+
+jax.tree_util.register_dataclass(DiagonalOperator, data_fields=("diag",), meta_fields=())
+
+
+def as_operator(a) -> LinearOperator:
+    """Coerce common inputs (containers, dense arrays) to an operator."""
+    if hasattr(a, "matvec"):
+        return a
+    arr = jnp.asarray(a)
+    if arr.ndim == 2:
+        return _DenseOperator(arr)
+    raise TypeError(f"cannot interpret {type(a)} as a LinearOperator")
+
+
+@dataclasses.dataclass(frozen=True)
+class _DenseOperator:
+    a: jax.Array
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return self.a @ x
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.a @ x
+        return y, conj_dot(x, y)
+
+
+jax.tree_util.register_dataclass(_DenseOperator, data_fields=("a",), meta_fields=())

@@ -1,0 +1,10 @@
+"""Iterative solvers: Krylov (BiCGStab, MINRES, CS-MINRES) and stationary
+(Gauss-Seidel), each expressed as a jittable pure function over a
+``lax.while_loop`` state pytree."""
+
+from .bicgstab import bicgstab
+from .minres import minres
+from .cs_minres import cs_minres
+from .gauss_seidel import gauss_seidel
+
+__all__ = ["bicgstab", "minres", "cs_minres", "gauss_seidel"]

@@ -1,0 +1,216 @@
+"""BiCGStab for general (non-symmetric, possibly indefinite) systems.
+
+TPU-native re-design of the reference solver (``src/bicg_stab.rs``): the
+preallocated 7n workspace becomes the ``lax.while_loop`` carry pytree (with
+buffer donation there is no per-iteration allocation), early returns become a
+status code in the carry, and the rare branches (ρ-breakdown restart
+``src/bicg_stab.rs:131-145``, ω-guard ``:179-185``, breakdown exit
+``:164-167``) become ``lax.cond``s — replicated exactly so iteration counts
+match the reference.
+
+The unpreconditioned path is the preconditioned path with M = I: in the
+reference the two are separate functions, but with an identity M every
+intermediate (y = M⁻¹p ≡ p, z = M⁻¹r ≡ r) is bitwise identical to the
+unpreconditioned arithmetic (``src/bicg_stab.rs:64-120`` vs ``:234-293``), so
+one implementation serves both with no parity loss.
+
+Sign convention: r = A·x − b (``src/bicg_stab.rs:73-75``), hence the x-updates
+subtract. Residual reported is relative: ‖r‖/‖b‖ (``:124-126``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..errors import SolveInfo, Status
+from ..ops.operator import IdentityOperator
+from ..vecalg import axpby, axpy, conj_dot, eps_for, norm2
+from .common import check_shapes, make_info, with_zero_rhs_guard
+
+
+class _State(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    r0: jax.Array
+    p: jax.Array
+    v: jax.Array
+    rho: jax.Array          # T scalar
+    alpha: jax.Array        # T scalar
+    w: jax.Array            # T scalar
+    r0_norm_tol: jax.Array  # real scalar, already squared (src/bicg_stab.rs:84-85)
+    its: jax.Array          # int32
+    status: jax.Array       # int32
+    res: jax.Array          # real scalar: relative residual at termination
+
+
+def bicgstab(
+    A,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    M=None,
+    tol,
+    max_iter,
+    axis_name: Optional[str] = None,
+):
+    """Solve A·x = b with BiCGStab. Returns ``(x, SolveInfo)``.
+
+    ``x0`` doubles as the warm-start initial guess, as in the reference where
+    ``x`` is an in/out argument (``src/bicg_stab.rs:72-75``).  ``M`` is the
+    preconditioner *apply* operator (an approximation of A⁻¹, e.g.
+    :class:`~sprsolve_tpu.precond.DiagPrecond`).  ``axis_name`` makes all
+    reductions collective for row-partitioned operators under ``shard_map``.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    check_shapes(A, b, x0)
+    if M is None:
+        M = IdentityOperator(b.shape[0])
+
+    rdt = jnp.finfo(b.dtype).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype
+    tol = jnp.asarray(tol, dtype=rdt)
+    max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
+    eps = eps_for(b.dtype)
+    T = b.dtype
+
+    def main(rhs_norm):
+        tol2 = tol * rhs_norm
+
+        # r = A·x − b ; r0 = r (src/bicg_stab.rs:72-79)
+        r = axpy(-jnp.ones((), T), b, A.matvec(x0))
+        r0_norm = norm2(r, axis_name)
+
+        def early_converged(_):
+            return x0, make_info(0, r0_norm / rhs_norm, Status.CONVERGED)
+
+        def iterate(_):
+            r0 = r
+            r0_norm_tol = (r0_norm * eps) ** 2
+
+            # ---- unrolled first iteration (src/bicg_stab.rs:87-120 / :258-293)
+            rho = (r0_norm * r0_norm).astype(T)
+            p = r
+            y = M.matvec(p)
+            v = A.matvec(y)
+            alpha = rho / conj_dot(r0, v, axis_name)
+            s = axpy(-alpha, v, r)          # r ← r − α·v (now the algorithm's s)
+            z = M.matvec(s)
+            t = A.matvec(z)
+            tt = conj_dot(t, t, axis_name)
+            w = jnp.where(
+                jnp.real(tt) > 0,
+                conj_dot(t, s, axis_name) / tt,
+                jnp.zeros((), T),
+            )
+            x = axpy(-alpha, y, x0)
+            x = axpy(-w, z, x)
+            r_new = axpy(-w, t, s)
+
+            st = _State(
+                x=x, r=r_new, r0=r0, p=p, v=v,
+                rho=rho, alpha=alpha, w=w, r0_norm_tol=r0_norm_tol,
+                its=jnp.int32(1), status=jnp.int32(Status.RUNNING),
+                res=jnp.zeros((), rdt),
+            )
+
+            def cond_fn(s_):
+                return (s_.status == Status.RUNNING) & (s_.its < max_iter)
+
+            def body_fn(s_):
+                r_norm = norm2(s_.r, axis_name)
+
+                def converged(s_):
+                    return s_._replace(
+                        status=jnp.int32(Status.CONVERGED), res=r_norm / rhs_norm
+                    )
+
+                def step(s_):
+                    rho_old = s_.rho
+                    rho = conj_dot(s_.r0, s_.r, axis_name)
+
+                    # ρ-breakdown restart (src/bicg_stab.rs:131-145):
+                    # recompute r from scratch, reset the shadow residual r0.
+                    def restart(op):
+                        rho_, r_, r0_, tol_ = op
+                        r_r = axpy(-jnp.ones((), T), b, A.matvec(s_.x))
+                        rn = norm2(r_r, axis_name)
+                        rho_r = (rn * rn).astype(T)
+                        tol_r = jnp.real(rho_r) * eps * eps
+                        return rho_r, r_r, r_r, tol_r
+
+                    rho, r_, r0_, r0_norm_tol = lax.cond(
+                        jnp.abs(rho) < s_.r0_norm_tol,
+                        restart,
+                        lambda op: op,
+                        (rho, s_.r, s_.r0, s_.r0_norm_tol),
+                    )
+
+                    beta = (rho / rho_old) * (s_.alpha / s_.w)
+                    # p = r + β·(p − ω·v), MKL-axpby form (src/bicg_stab.rs:153-156)
+                    p = axpby(-beta * s_.w, s_.v, beta, s_.p)
+                    p = axpy(jnp.ones((), T), r_, p)
+
+                    y = M.matvec(p)
+                    v = A.matvec(y)
+                    r0v = conj_dot(r0_, v, axis_name)
+
+                    def breakdown(s_):
+                        return s_._replace(
+                            r=r_, r0=r0_, p=p, v=v, rho=rho,
+                            r0_norm_tol=r0_norm_tol,
+                            status=jnp.int32(Status.BREAKDOWN),
+                            res=r_norm / rhs_norm,
+                        )
+
+                    def advance(s_):
+                        alpha = rho / r0v
+                        sres = axpy(-alpha, v, r_)   # s
+                        z = M.matvec(sres)
+                        t = A.matvec(z)
+                        tt = conj_dot(t, t, axis_name)
+                        w = jnp.where(
+                            jnp.real(tt) > 0,
+                            conj_dot(t, sres, axis_name) / tt,
+                            jnp.zeros((), T),
+                        )
+                        x = axpy(-alpha, y, s_.x)
+                        x = axpy(-w, z, x)
+                        r_new = axpy(-w, t, sres)
+                        return _State(
+                            x=x, r=r_new, r0=r0_, p=p, v=v,
+                            rho=rho, alpha=alpha, w=w,
+                            r0_norm_tol=r0_norm_tol,
+                            its=s_.its + 1,
+                            status=s_.status,
+                            res=s_.res,
+                        )
+
+                    # breakdown exit: |r0·v| ≤ 0 (src/bicg_stab.rs:164-167)
+                    return lax.cond(jnp.abs(r0v) <= 0, breakdown, advance, s_)
+
+                return lax.cond(r_norm <= tol2, converged, step, s_)
+
+            final = lax.while_loop(cond_fn, body_fn, st)
+
+            # loop exhausted without convergence → InsufficientIterNum
+            # (src/bicg_stab.rs:199); report the last relative residual.
+            status = jnp.where(
+                final.status == Status.RUNNING,
+                jnp.int32(Status.INSUFFICIENT_ITER),
+                final.status,
+            )
+            res = jnp.where(
+                final.status == Status.RUNNING,
+                norm2(final.r, axis_name) / rhs_norm,
+                final.res,
+            )
+            return final.x, make_info(final.its, res, status)
+
+        return lax.cond(r0_norm <= tol2, early_converged, iterate, None)
+
+    return with_zero_rhs_guard(b, x0, main, axis_name)

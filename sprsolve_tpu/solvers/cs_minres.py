@@ -1,0 +1,153 @@
+"""CS-MINRES: MINRES for complex-*symmetric* (Aᵀ = A, non-Hermitian) systems
+via the Saunders process.
+
+TPU-native re-design of ``src/cs_minres.rs``.  Differences from plain MINRES,
+replicated exactly (``src/cs_minres.rs:97-146``):
+
+- the Krylov step multiplies A·conj(q_k) (``:99-102``),
+- α = conj(q_k)·(A·conj(q_k)) (``:103``),
+- modified Givens rotation with conjugated cosines: tr = c̄_old·β (``:120``),
+  r1̂ = c̄·α − tr·s (``:122``), new cosine c = r1̂̄·r1_inv (``:133``),
+- the p-recurrence is seeded from conj(q_k) (``:141-146``).
+
+The reference exports this solver but never exercises it in an active test
+(``tests/test_minres.rs:14-15``); this framework fixes that gap —
+see ``tests/test_cs_minres.py``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..errors import Status
+from ..vecalg import abs2, axpy, conj, conj_dot, norm2, rscale
+from .common import check_shapes, make_info, with_zero_rhs_guard
+
+
+class _State(NamedTuple):
+    x: jax.Array
+    v: jax.Array
+    v_new: jax.Array
+    p: jax.Array
+    p_old: jax.Array
+    beta_new: jax.Array  # real
+    c: jax.Array         # T
+    c_old: jax.Array     # T
+    s: jax.Array         # real
+    s_old: jax.Array     # real
+    eta: jax.Array       # T
+    res_norm: jax.Array  # real
+    its: jax.Array
+    status: jax.Array
+    res: jax.Array
+
+
+def cs_minres(
+    A,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    tol,
+    max_iter,
+    axis_name: Optional[str] = None,
+):
+    """Solve A·x = b for complex-symmetric A. Returns ``(x, SolveInfo)``."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    check_shapes(A, b, x0)
+
+    T = b.dtype
+    rdt = jnp.finfo(T).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype
+    tol = jnp.asarray(tol, dtype=rdt)
+    max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
+    one_t = jnp.ones((), T)
+    zero_r = jnp.zeros((), rdt)
+
+    def main(rhs_norm):
+        threshold = tol * rhs_norm
+
+        v_new = axpy(-one_t, A.matvec(x0), b)  # r₁ = b − A·x
+        res_norm0 = norm2(v_new, axis_name)
+        beta_new0 = res_norm0
+        beta_one = beta_new0
+        v1 = rscale(jnp.ones((), rdt) / beta_new0, v_new)
+        zeros = jnp.zeros_like(b)
+
+        st0 = _State(
+            x=x0, v=zeros, v_new=v1, p=zeros, p_old=zeros,
+            beta_new=beta_new0,
+            c=one_t, c_old=one_t, s=zero_r, s_old=zero_r, eta=one_t,
+            res_norm=res_norm0,
+            its=jnp.int32(0),
+            status=jnp.int32(Status.RUNNING),
+            res=zero_r,
+        )
+
+        def cond_fn(s_):
+            return (s_.status == Status.RUNNING) & (s_.its < max_iter)
+
+        def body_fn(s_):
+            beta = s_.beta_new
+            v_old, v = s_.v, s_.v_new
+
+            tvec = conj(v)                      # conj(q_k)  (src/cs_minres.rs:99)
+            v_new = A.matvec(tvec)              # A·conj(q_k)
+            alpha = conj_dot(v, v_new, axis_name)
+            v_new = axpy((-beta).astype(T), v_old, v_new)
+            v_new = axpy(-alpha, v, v_new)
+            beta_new = norm2(v_new, axis_name)
+            v_new = rscale(jnp.ones((), rdt) / beta_new, v_new)
+
+            # modified Givens with c / c̄ entries (src/cs_minres.rs:109-134)
+            r3 = s_.s_old * beta
+            tr = jnp.conj(s_.c_old) * beta
+            r2 = alpha * s_.s + s_.c * tr
+            r1_hat = jnp.conj(s_.c) * alpha - tr * s_.s
+            r1_inv = jnp.ones((), rdt) / jnp.sqrt(abs2(r1_hat) + beta_new * beta_new)
+
+            c_old, s_old = s_.c, s_.s
+            c = jnp.conj(r1_hat) * r1_inv
+            s_sin = beta_new * r1_inv
+
+            # p seeded from conj(q_k) (src/cs_minres.rs:141-146)
+            p_new = tvec
+            p_new = axpy(-r2, s_.p, p_new)
+            p_new = axpy((-r3).astype(T), s_.p_old, p_new)
+            p_new = rscale(r1_inv, p_new)
+
+            x = axpy((c * s_.eta) * beta_one, p_new, s_.x)
+
+            res_norm = s_.res_norm * jnp.abs(s_sin)
+            converged = res_norm < threshold
+            eta = s_.eta * (-s_sin)
+
+            return _State(
+                x=x, v=v, v_new=v_new, p=p_new, p_old=s_.p,
+                beta_new=beta_new,
+                c=c, c_old=c_old, s=s_sin, s_old=s_old, eta=eta,
+                res_norm=res_norm,
+                its=jnp.where(converged, s_.its, s_.its + 1),
+                status=jnp.where(
+                    converged, jnp.int32(Status.CONVERGED), s_.status
+                ),
+                res=jnp.where(converged, res_norm / rhs_norm, s_.res),
+            )
+
+        final = lax.while_loop(cond_fn, body_fn, st0)
+        status = jnp.where(
+            final.status == Status.RUNNING,
+            jnp.int32(Status.INSUFFICIENT_ITER),
+            final.status,
+        )
+        res = jnp.where(
+            final.status == Status.RUNNING,
+            final.res_norm / rhs_norm,
+            final.res,
+        )
+        return final.x, make_info(final.its, res, status)
+
+    return with_zero_rhs_guard(b, x0, main, axis_name)

@@ -1,0 +1,313 @@
+"""Sparse containers as JAX pytrees.
+
+Replaces the reference's ``sprs``-based storage (``src/mat.rs``) with formats
+chosen for the TPU memory system rather than for pointer-chasing CPUs:
+
+- COO: build format; SpMV = gather + segment-sum (the correctness oracle).
+- CSR: interchange format; carries a precomputed COO-style ``row_ids`` array so
+  its SpMV is static-shaped (XLA needs static shapes; ``indptr`` walking is a
+  CPU idiom).
+- ELL: every row padded to ``k`` entries → dense (n, k) tiles, regular access
+  for the VPU; pad entries have value 0 and column 0 (they contribute nothing).
+- DIA: offset-diagonal storage for banded/stencil matrices; SpMV uses shifted
+  contiguous slices instead of gathers (no irregular memory access at all).
+
+The matvec entry points are in ``sprsolve_tpu.ops.spmv``; containers expose
+``matvec``/``matvec_dot`` convenience methods implementing the reference's
+``MatVecMul`` trait surface (``src/mat.rs:12-37``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _register(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(cls, data_fields=data_fields, meta_fields=meta_fields)
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class COO:
+    """Coordinate-format sparse matrix. Duplicate (row, col) entries sum."""
+
+    data: jax.Array   # (nnz,)
+    row: jax.Array    # (nnz,) int32
+    col: jax.Array    # (nnz,) int32
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from ..ops.spmv import spmv_coo
+
+        return spmv_coo(self, x)
+
+    def matvec_dot(self, x: jax.Array):
+        """Fused A·x and conj(x)·(A·x) — reference ``mul_vec_dot`` (src/mat.rs:19-22)."""
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+    def to_csr(self) -> "CSR":
+        return CSR.from_coo(self)
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, dtype=self.dtype)
+        return out.at[self.row, self.col].add(self.data)
+
+
+_register(COO, data_fields=("data", "row", "col"), meta_fields=("shape",))
+
+
+@dataclasses.dataclass(frozen=True)
+class CSR:
+    """CSR with a precomputed flat ``row_ids`` companion (static-shape SpMV).
+
+    ``indptr`` is kept for format fidelity/conversion; the compute path uses
+    (data, indices, row_ids) as a sorted COO.
+    """
+
+    data: jax.Array      # (nnz,)
+    indices: jax.Array   # (nnz,) int32 column index per entry
+    indptr: jax.Array    # (n_rows + 1,) int32
+    row_ids: jax.Array   # (nnz,) int32 row index per entry
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+    @staticmethod
+    def from_arrays(data, indices, indptr, shape) -> "CSR":
+        data = jnp.asarray(data)
+        indices = jnp.asarray(indices, dtype=jnp.int32)
+        indptr_np = np.asarray(indptr, dtype=np.int64)
+        row_ids = np.repeat(
+            np.arange(shape[0], dtype=np.int32), np.diff(indptr_np)
+        )
+        return CSR(
+            data=data,
+            indices=indices,
+            indptr=jnp.asarray(indptr_np, dtype=jnp.int32),
+            row_ids=jnp.asarray(row_ids),
+            shape=tuple(shape),
+        )
+
+    @staticmethod
+    def from_coo(m: COO) -> "CSR":
+        row = np.asarray(m.row)
+        col = np.asarray(m.col)
+        dat = np.asarray(m.data)
+        order = np.lexsort((col, row))
+        row, col, dat = row[order], col[order], dat[order]
+        # sum duplicates
+        key = row.astype(np.int64) * m.shape[1] + col
+        uniq, inv = np.unique(key, return_inverse=True)
+        dat_sum = np.zeros(len(uniq), dtype=dat.dtype)
+        np.add.at(dat_sum, inv, dat)
+        row_u = (uniq // m.shape[1]).astype(np.int32)
+        col_u = (uniq % m.shape[1]).astype(np.int32)
+        indptr = np.zeros(m.shape[0] + 1, dtype=np.int64)
+        np.add.at(indptr, row_u + 1, 1)
+        indptr = np.cumsum(indptr)
+        return CSR.from_arrays(dat_sum, col_u, indptr, m.shape)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from ..ops.spmv import spmv_csr
+
+        return spmv_csr(self, x)
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+    def to_ell(self, k: int | None = None) -> "ELL":
+        return ELL.from_csr(self, k=k)
+
+    def to_dia(self) -> "DIA":
+        return DIA.from_csr(self)
+
+    def diagonal(self) -> jax.Array:
+        """Extract the main diagonal (host-side, for preconditioner setup)."""
+        dat = np.asarray(self.data)
+        on_diag = np.asarray(self.row_ids) == np.asarray(self.indices)
+        diag = np.zeros(self.shape[0], dtype=dat.dtype)
+        np.add.at(diag, np.asarray(self.row_ids)[on_diag], dat[on_diag])
+        return jnp.asarray(diag)
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, dtype=self.dtype)
+        return out.at[self.row_ids, self.indices].add(self.data)
+
+
+_register(
+    CSR,
+    data_fields=("data", "indices", "indptr", "row_ids"),
+    meta_fields=("shape",),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """ELLPACK: each row padded to ``k`` slots — the TPU execution layout.
+
+    Pad slots carry (col=0, val=0). Analog of the reference's
+    ``mkl_sparse_optimize`` layout conversion (``src/mkl_mat.rs:112-116``):
+    built once at operator construction, then every SpMV is regular.
+    """
+
+    data: jax.Array   # (n_rows, k)
+    cols: jax.Array   # (n_rows, k) int32
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def k(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def nnz_padded(self) -> int:
+        return self.data.shape[0] * self.data.shape[1]
+
+    @staticmethod
+    def from_csr(m: CSR, k: int | None = None) -> "ELL":
+        indptr = np.asarray(m.indptr, dtype=np.int64)
+        counts = np.diff(indptr)
+        kmax = int(counts.max()) if len(counts) else 0
+        if k is None:
+            k = kmax
+        if k < kmax:
+            raise ValueError(f"k={k} < max row nnz {kmax}")
+        n = m.shape[0]
+        data = np.zeros((n, k), dtype=np.asarray(m.data).dtype)
+        cols = np.zeros((n, k), dtype=np.int32)
+        flat_dat = np.asarray(m.data)
+        flat_col = np.asarray(m.indices)
+        # scatter each row's entries into its padded slots
+        slot = np.arange(len(flat_dat)) - np.repeat(indptr[:-1], counts)
+        rows = np.repeat(np.arange(n), counts)
+        data[rows, slot] = flat_dat
+        cols[rows, slot] = flat_col
+        return ELL(data=jnp.asarray(data), cols=jnp.asarray(cols), shape=m.shape)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from ..ops.spmv import spmv_ell
+
+        return spmv_ell(self, x)
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+    def diagonal(self) -> jax.Array:
+        n = self.shape[0]
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        on_diag = self.cols == rows
+        return jnp.sum(jnp.where(on_diag, self.data, 0), axis=1)
+
+
+_register(ELL, data_fields=("data", "cols"), meta_fields=("shape",))
+
+
+@dataclasses.dataclass(frozen=True)
+class DIA:
+    """Offset-diagonal (banded) storage: y[i] = Σ_d bands[d, i] · x[i + offsets[d]].
+
+    Band values are stored at their *row* index; entries whose column
+    ``i + off`` falls outside [0, n) must be zero.  For stencil matrices this
+    turns every x-access into a contiguous shifted slice — no gathers at all,
+    which is the TPU speed-of-light layout (HBM-bandwidth bound at
+    ~8 bytes/nnz for f32 instead of 12-16 with explicit indices).
+    """
+
+    bands: jax.Array          # (n_diags, n_rows)
+    offsets: Tuple[int, ...]  # static
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.bands.dtype
+
+    @staticmethod
+    def from_csr(m: CSR, max_diags: int = 64) -> "DIA":
+        row = np.asarray(m.row_ids, dtype=np.int64)
+        col = np.asarray(m.indices, dtype=np.int64)
+        dat = np.asarray(m.data)
+        offs = np.unique(col - row)
+        if len(offs) > max_diags:
+            raise ValueError(
+                f"matrix has {len(offs)} distinct diagonals (> {max_diags}); "
+                "DIA is only efficient for banded/stencil matrices — use ELL"
+            )
+        n = m.shape[0]
+        bands = np.zeros((len(offs), n), dtype=dat.dtype)
+        off_index = {int(o): i for i, o in enumerate(offs)}
+        drow = np.array([off_index[int(o)] for o in (col - row)])
+        np.add.at(bands, (drow, row), dat)
+        return DIA(
+            bands=jnp.asarray(bands),
+            offsets=tuple(int(o) for o in offs),
+            shape=m.shape,
+        )
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from ..ops.spmv import spmv_dia
+
+        return spmv_dia(self, x)
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+    def diagonal(self) -> jax.Array:
+        if 0 in self.offsets:
+            return self.bands[self.offsets.index(0)]
+        return jnp.zeros(self.shape[0], dtype=self.dtype)
+
+
+_register(DIA, data_fields=("bands",), meta_fields=("offsets", "shape"))
+
+
+def csr_from_scipy(m) -> CSR:
+    """Build from a scipy.sparse matrix (any format)."""
+    m = m.tocsr()
+    return CSR.from_arrays(m.data, m.indices, m.indptr, m.shape)
+
+
+def csr_from_dense(a) -> CSR:
+    """Build from a dense array (test convenience)."""
+    a = np.asarray(a)
+    nz = np.nonzero(a)
+    coo = COO(
+        data=jnp.asarray(a[nz]),
+        row=jnp.asarray(nz[0].astype(np.int32)),
+        col=jnp.asarray(nz[1].astype(np.int32)),
+        shape=a.shape,
+    )
+    return CSR.from_coo(coo)

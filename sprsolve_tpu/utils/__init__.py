@@ -1,0 +1,23 @@
+"""Utilities: test/bench problem generators and timing harness."""
+
+from .problems import (
+    grid_laplacian_dirichlet,
+    set_boundary_condition,
+    sym_grid_laplacian,
+    simple_diag_system,
+    hermitian_grid,
+    hermitian_grid_with_diag,
+    complex_symmetric_grid_with_diag,
+    poisson3d,
+)
+
+__all__ = [
+    "grid_laplacian_dirichlet",
+    "set_boundary_condition",
+    "sym_grid_laplacian",
+    "simple_diag_system",
+    "hermitian_grid",
+    "hermitian_grid_with_diag",
+    "complex_symmetric_grid_with_diag",
+    "poisson3d",
+]

@@ -1,0 +1,46 @@
+"""MINRES integration tests — port of ``tests/test_minres.rs``: the symmetric
+folded-boundary 8×8 grid Laplacian at tol 1e-22, and the diagonal sanity
+system at 1e-20."""
+
+import numpy as np
+
+import sprsolve_tpu as sp
+from sprsolve_tpu.utils import problems
+
+GOLDEN_MINRES_ITERS = 34
+GOLDEN_IDENT_ITERS = 64
+
+
+def test_minres():
+    # tests/test_minres.rs:1-31
+    A, rhs = problems.sym_grid_laplacian((8, 8))
+    dense = np.asarray(A.todense())
+    np.testing.assert_array_equal(dense, dense.T)  # sprs::is_symmetric assert
+    x, (iters, res) = sp.MinRes.new(A, 64).solve(rhs, max_iter=300, tol=1e-22)
+    assert res < 1e-22
+    assert iters == GOLDEN_MINRES_ITERS
+    r = np.asarray(A.matvec(x)) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-12
+
+
+def test_minres_ident():
+    # tests/test_minres.rs:33-74
+    A, rhs = problems.simple_diag_system((8, 8))
+    x, (iters, res) = sp.MinRes.new(A, 64).solve(rhs, max_iter=300, tol=1e-20)
+    assert res < 1e-20
+    assert iters == GOLDEN_IDENT_ITERS
+    # solution of diag(2(i+1))·x = (i+1) is x = 0.5 everywhere
+    np.testing.assert_allclose(np.asarray(x), 0.5, rtol=1e-12)
+
+
+def test_minres_indefinite():
+    # MINRES handles indefinite systems (src/minres.rs:8-11): the folded
+    # Laplacian is negative definite; flip half the rhs sign via a shifted
+    # operator A - is not needed — instead verify on A with mixed-sign rhs.
+    A, _ = problems.sym_grid_laplacian((8, 8))
+    rng = np.random.default_rng(3)
+    rhs = rng.standard_normal(64)
+    x, info = sp.minres(A, rhs, tol=1e-13, max_iter=300)
+    info.raise_if_error()
+    r = np.asarray(A.matvec(x)) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-10
