@@ -1,0 +1,117 @@
+"""Distributed solve driver: shard_map a solver over a row-partitioned system.
+
+The solver functions themselves are mesh-agnostic — they thread an
+``axis_name`` through every reduction (``vecalg``), so this driver only has to
+lay out the data: pad n to the mesh size, shard the operator / rhs / guess by
+row blocks, run the solver inside ``shard_map`` (inner products become psum,
+SpMV does its halo exchange), and unpad.  SolveInfo comes back replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..errors import SolveInfo
+from ..precond import DiagPrecond
+from ..sparse.containers import CSR, DIA
+from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
+
+
+def make_solver_specs(A_parts, M_parts, axis_name: str):
+    """(in_specs, out_specs) for shard_map'ing solver(A, b, x0[, M])."""
+    a_spec = A_parts.pspec(axis_name)
+    specs = [a_spec, P(axis_name), P(axis_name)]
+    if M_parts is not None:
+        specs.append(jax.tree.map(lambda _: P(axis_name), M_parts))
+    out_specs = (P(axis_name), SolveInfo(P(), P(), P()))
+    return tuple(specs), out_specs
+
+
+def distributed_solve(
+    solver_fn,
+    A,
+    b,
+    x0: Optional[jax.Array] = None,
+    *,
+    M=None,
+    tol,
+    max_iter,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+):
+    """Solve A·x = b with ``solver_fn`` row-partitioned over ``mesh``.
+
+    ``A`` may be a host CSR/DIA container (partitioned here) or an already
+    partitioned :class:`AllGatherELL` / :class:`HaloDIA`.  ``M`` (optional)
+    must be a :class:`DiagPrecond`; its diagonal is sharded with the rows.
+    Returns the global ``(x, SolveInfo)``.
+    """
+    if mesh is None:
+        devices = jax.devices()
+        mesh = jax.make_mesh((len(devices),), (axis_name,), devices=devices)
+    n_dev = mesh.shape[axis_name]
+
+    if isinstance(A, CSR):
+        A_parts = partition_csr(A, n_dev, axis_name)
+    elif isinstance(A, DIA):
+        A_parts = partition_dia(A, n_dev, axis_name)
+    elif isinstance(A, (AllGatherELL, HaloDIA)):
+        A_parts = A
+    else:
+        raise TypeError(f"cannot partition operator of type {type(A)}")
+
+    n = b.shape[0]
+    n_pad = A_parts.shape[0]
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if n_pad != n:
+        pad = jnp.zeros(n_pad - n, dtype=b.dtype)
+        b = jnp.concatenate([b, pad])
+        x0 = jnp.concatenate([x0, pad])
+
+    M_parts = None
+    if M is not None:
+        if not isinstance(M, DiagPrecond):
+            raise TypeError("distributed_solve supports DiagPrecond preconditioners")
+        di = M.diag_inv
+        if di.shape[0] != n_pad:
+            di = jnp.concatenate(
+                [di, jnp.ones(n_pad - di.shape[0], dtype=di.dtype)]
+            )
+        M_parts = DiagPrecond(diag_inv=di)
+
+    in_specs, out_specs = make_solver_specs(A_parts, M_parts, axis_name)
+
+    if M_parts is None:
+
+        def run(A_, b_, x_):
+            return solver_fn(
+                A_, b_, x_, tol=tol, max_iter=max_iter, axis_name=axis_name
+            )
+
+        args = (A_parts, b, x0)
+    else:
+
+        def run(A_, b_, x_, M_):
+            return solver_fn(
+                A_, b_, x_, M=M_, tol=tol, max_iter=max_iter, axis_name=axis_name
+            )
+
+        args = (A_parts, b, x0, M_parts)
+
+    sharded = jax.shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    x_pad, info = sharded(*args)
+    # Replicate the solution before returning: downstream host-side use
+    # (residual checks, slicing off the padding) on a row-sharded array would
+    # hit gather-sharding ambiguities. The solve itself ran fully sharded.
+    x_pad = jax.device_put(x_pad, jax.sharding.NamedSharding(mesh, P()))
+    if n_pad != n:
+        x_pad = x_pad[:n]
+    return x_pad, info

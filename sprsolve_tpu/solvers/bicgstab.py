@@ -68,7 +68,7 @@ def bicgstab(
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    check_shapes(A, b, x0)
+    check_shapes(A, b, x0, axis_name)
     if M is None:
         M = IdentityOperator(b.shape[0])
 

@@ -41,15 +41,21 @@ def with_zero_rhs_guard(
     return lax.cond(rhs_norm <= eps, trivial, lambda _: main(rhs_norm), None)
 
 
-def check_shapes(A, b, x0, n_expected=None):
+def check_shapes(A, b, x0, axis_name=None):
     """Trace-time dimension checks — the analog of the reference's
     IncompatibleMatrixFormat returns (``src/bicg_stab.rs:44-53``). Shapes are
-    static under XLA, so these raise eagerly in Python."""
+    static under XLA, so these raise eagerly in Python.
+
+    Under shard_map (``axis_name`` set) the operator carries its *global*
+    shape while b/x are per-device row blocks, so only the vector shapes are
+    compared against each other (scaled by the axis size at trace time).
+    """
     from ..errors import IncompatibleMatrixFormat
 
     n = b.shape[0]
     if hasattr(A, "shape") and A.shape is not None:
-        if A.shape[1] != n:
+        n_global = n if axis_name is None else n * lax.axis_size(axis_name)
+        if A.shape[1] != n_global:
             raise IncompatibleMatrixFormat(
                 "Input vec dimension doesn't match the matrix size"
             )

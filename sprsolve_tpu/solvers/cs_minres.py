@@ -58,7 +58,7 @@ def cs_minres(
     """Solve A·x = b for complex-symmetric A. Returns ``(x, SolveInfo)``."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    check_shapes(A, b, x0)
+    check_shapes(A, b, x0, axis_name)
 
     T = b.dtype
     rdt = jnp.finfo(T).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype

@@ -69,7 +69,7 @@ def minres(
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    check_shapes(A, b, x0)
+    check_shapes(A, b, x0, axis_name)
     has_precond = M is not None
 
     T = b.dtype

@@ -1,0 +1,97 @@
+"""Distributed-solve tests on a virtual 8-device CPU mesh — the same
+shard_map/psum/ppermute code paths that run on a TPU pod (SURVEY.md §4:
+"test multi-chip logic without a pod via the host-platform device-count
+override")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sprsolve_tpu as sp
+from sprsolve_tpu.parallel import (
+    AllGatherELL,
+    HaloDIA,
+    distributed_solve,
+    partition_csr,
+    partition_dia,
+)
+from sprsolve_tpu.utils import problems
+
+
+def _dirichlet(shape):
+    A = problems.grid_laplacian_dirichlet(shape)
+    rhs = np.zeros(shape[0] * shape[1])
+    problems.set_boundary_condition(rhs, shape, lambda r, c: float(r + c))
+    return A, rhs
+
+
+def test_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_spmv_matches_local():
+    """Both halo strategies must reproduce the local SpMV exactly (the
+    summation structure per row is unchanged — only x sourcing differs)."""
+    A, _ = _dirichlet((16, 16))
+    n = 256
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    want = np.asarray(A.matvec(x))
+
+    mesh = jax.make_mesh((8,), ("rows",))
+    from jax.sharding import PartitionSpec as P
+
+    for parts in (partition_csr(A, 8), partition_dia(A.to_dia(), 8)):
+        with jax.set_mesh(mesh):
+            y = jax.shard_map(
+                lambda op, xl: op.matvec(xl),
+                mesh=mesh,
+                in_specs=(parts.pspec("rows"), P("rows")),
+                out_specs=P("rows"),
+            )(parts, x)
+        np.testing.assert_allclose(np.asarray(y), want, rtol=1e-14, atol=1e-14)
+
+
+@pytest.mark.parametrize("layout", ["ell", "dia"])
+def test_distributed_bicgstab(layout):
+    A, rhs = _dirichlet((20, 20))
+    op = A if layout == "ell" else A.to_dia()
+    x, info = distributed_solve(sp.bicgstab, op, rhs, tol=1e-15, max_iter=1500)
+    info.raise_if_error()
+    r = np.asarray(A.matvec(x)) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-12
+
+
+def test_distributed_padding_exact():
+    # 100 rows over 8 devices → 104 with identity pad rows; padding must be
+    # exact, not approximate.
+    A, rhs = _dirichlet((10, 10))
+    x_d, info = distributed_solve(sp.bicgstab, A, rhs, tol=1e-15, max_iter=1500)
+    info.raise_if_error()
+    assert x_d.shape == (100,)
+    r = np.asarray(A.matvec(x_d)) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-12
+
+
+def test_distributed_precond_minres_complex():
+    A, rhs, diag = problems.hermitian_grid_with_diag((8, 8))
+    M = sp.DiagPrecond.new(diag)
+    x, info = distributed_solve(sp.minres, A, rhs, M=M, tol=1e-22, max_iter=300)
+    info.raise_if_error()
+    xk = np.array([complex(i, j) for i in range(8) for j in range(8)])
+    assert np.abs(np.asarray(x) - xk).max() < 1e-12
+
+
+def test_distributed_cs_minres():
+    A, rhs, _ = problems.complex_symmetric_grid_with_diag((8, 8))
+    x, info = distributed_solve(sp.cs_minres, A, rhs, tol=1e-22, max_iter=300)
+    info.raise_if_error()
+    xk = np.array([complex(i, j) for i in range(8) for j in range(8)])
+    assert np.abs(np.asarray(x) - xk).max() < 1e-12
+
+
+def test_halo_dia_rejects_wide_bands():
+    # bandwidth must fit within a device's row block
+    A, _ = _dirichlet((4, 4))  # n=16, 8 devices → 2 rows each; offsets ±4
+    with pytest.raises(ValueError):
+        partition_dia(A.to_dia(), 8)
