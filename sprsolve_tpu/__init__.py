@@ -16,7 +16,16 @@ from .api import BiCGStab, CSMinRes, GaussSeidel, MinRes
 from .errors import SolveInfo, SolverError, Status
 from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
 from .precond import DiagPrecond
-from .solvers import bicgstab, cs_minres, gauss_seidel, minres
+from .solvers import (
+    ColoredELL,
+    MulticolorGSPrecond,
+    bicgstab,
+    cs_minres,
+    gauss_seidel,
+    gauss_seidel_redblack,
+    greedy_color,
+    minres,
+)
 from .sparse import COO, CSR, DIA, ELL, csr_from_dense, csr_from_scipy
 
 __version__ = "0.1.0"
@@ -30,6 +39,10 @@ __all__ = [
     "minres",
     "cs_minres",
     "gauss_seidel",
+    "gauss_seidel_redblack",
+    "ColoredELL",
+    "MulticolorGSPrecond",
+    "greedy_color",
     "COO",
     "CSR",
     "ELL",

@@ -1,0 +1,206 @@
+"""Pallas SpMV kernels — the hot single-chip compute path.
+
+Replaces the role of the reference's native MKL sparse backend
+(``src/mkl_mat.rs``): a one-time layout "optimize" step at operator
+construction (:class:`PaddedDIA`, the analog of ``mkl_sparse_optimize``,
+``src/mkl_mat.rs:112-116``) and a hand-scheduled kernel for the per-iteration
+SpMV.
+
+Why a kernel at all: the pure-XLA DIA path re-reads x from HBM once *per
+diagonal* (TPU has no general cache between fused operand streams), costing
+~(2·D_n)·4 bytes/point.  This kernel stages one x block (plus halo rows) in
+VMEM and computes all D_n shifted products from it, reaching the algorithmic
+minimum of (D_n + 2)·4 bytes/point — for a 7-point stencil a ~1.6× traffic
+reduction, which is the whole game for a bandwidth-bound op.
+
+Layout: vectors are viewed as (rows, LANES) with LANES = 512 (4 × the 128
+native lane width).  A flat shift `off` decomposes as q·LANES + r; the
+shifted read is two lane-rotations (`pltpu.roll`) of adjacent row windows
+merged by a lane mask — no gathers anywhere.
+
+The kernel is f32/f64; complex systems use it per re/im plane (see
+``PaddedDIA.matvec``), since a c64 SpMV is (re·re − im·im, re·im + im·re) over
+the same band structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sparse.containers import DIA
+
+LANES = 512
+BLOCK_ROWS = 32
+
+
+def _dia_kernel(bands_ref, x_ref, y_ref, *, offsets, hr, lanes):
+    """One row-block: y = Σ_d bands[d] ⊙ shift(x, off_d), all from VMEM.
+
+    bands_ref: (D, BR, lanes); x_ref: (BR + 2·hr, lanes) overlapping window;
+    y_ref: (BR, lanes).
+    """
+    br = y_ref.shape[0]
+    acc = jnp.zeros((br, lanes), dtype=y_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 1)
+    for d, off in enumerate(offsets):
+        q, r = divmod(off + hr * lanes, lanes)
+        if r == 0:
+            shifted = x_ref[q : q + br, :]
+        else:
+            # shifted[j, l] = x[q + j + (l + r >= lanes), (l + r) % lanes]:
+            # lane-rotate the aligned window and its successor row, pick by lane.
+            same = pltpu.roll(x_ref[q : q + br, :], lanes - r, 1)
+            nxt = pltpu.roll(x_ref[q + 1 : q + br + 1, :], lanes - r, 1)
+            shifted = jnp.where(lane < lanes - r, same, nxt)
+        acc = acc + bands_ref[d] * shifted
+    y_ref[:, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
+def _dia_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
+    d, r_pad, _ = bands3.shape
+    grid = (r_pad // block_rows,)
+    return pl.pallas_call(
+        functools.partial(_dia_kernel, offsets=offsets, hr=hr, lanes=lanes),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (d, block_rows, lanes),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # overlapping x windows: block i covers padded rows
+            # [i·BR, i·BR + BR + 2·hr) — elementwise row indexing (pl.Element)
+            # because consecutive windows overlap by 2·hr rows.
+            pl.BlockSpec(
+                (pl.Element(block_rows + 2 * hr), lanes),
+                lambda i: (i * block_rows, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
+    )(bands3, x2)
+
+
+@dataclasses.dataclass(frozen=True)
+class PaddedDIA:
+    """DIA re-laid-out for the Pallas kernel (built once per operator).
+
+    ``bands3`` is (D, R_pad, LANES); vectors live in the padded 2-D layout
+    (HR + R_pad + HR, LANES) with zero halo rows, so the whole Krylov solve
+    can run in kernel layout with zero per-iteration conversion: every vecalg
+    op is elementwise/reduction and shape-agnostic, and zeros in the halo are
+    preserved by all of them.
+    """
+
+    bands3: jax.Array
+    offsets: Tuple[int, ...]
+    n: int                    # logical length
+    hr: int                   # halo rows on each side
+    shape: Tuple[int, int]
+    lanes: int = LANES
+    block_rows: int = BLOCK_ROWS
+
+    @property
+    def dtype(self):
+        return self.bands3.dtype
+
+    @property
+    def r_pad(self) -> int:
+        return self.bands3.shape[1]
+
+    @staticmethod
+    def from_dia(
+        m: DIA, lanes: int = LANES, block_rows: int = BLOCK_ROWS
+    ) -> "PaddedDIA":
+        n = m.shape[0]
+        h = max((abs(o) for o in m.offsets), default=0)
+        hr = -(-h // lanes)
+        r = -(-n // lanes)
+        r_pad = -(-r // block_rows) * block_rows
+        bands = np.asarray(m.bands)
+        pad = r_pad * lanes - n
+        bands3 = np.pad(bands, ((0, 0), (0, pad))).reshape(
+            bands.shape[0], r_pad, lanes
+        )
+        return PaddedDIA(
+            bands3=jnp.asarray(bands3),
+            offsets=m.offsets,
+            n=n,
+            hr=hr,
+            shape=m.shape,
+            lanes=lanes,
+            block_rows=block_rows,
+        )
+
+    # --- padded-layout vector helpers -------------------------------------
+    def pad_vec(self, x: jax.Array) -> jax.Array:
+        """(n,) → (HR + R_pad + HR, LANES) with zero halo+tail."""
+        flat = jnp.zeros(self.r_pad * self.lanes, dtype=x.dtype).at[: self.n].set(x)
+        body = flat.reshape(self.r_pad, self.lanes)
+        halo = jnp.zeros((self.hr, self.lanes), dtype=x.dtype)
+        return jnp.concatenate([halo, body, halo], axis=0)
+
+    def unpad_vec(self, x2: jax.Array) -> jax.Array:
+        return x2[self.hr : self.hr + self.r_pad].reshape(-1)[: self.n]
+
+    # --- operator protocol -------------------------------------------------
+    def _matvec_real(self, x2: jax.Array) -> jax.Array:
+        y_body = _dia_pallas_call(
+            self.bands3, x2, self.offsets, self.hr, self.lanes, self.block_rows
+        )
+        halo = jnp.zeros((self.hr, self.lanes), dtype=x2.dtype)
+        return jnp.concatenate([halo, y_body, halo], axis=0)
+
+    def matvec(self, x2: jax.Array) -> jax.Array:
+        """SpMV in padded 2-D layout: x2 and the result are (HR+R_pad+HR, LANES)."""
+        if jnp.iscomplexobj(x2):
+            xr, xi = jnp.real(x2), jnp.imag(x2)
+            if jnp.iscomplexobj(self.bands3):
+                raise NotImplementedError(
+                    "complex bands: use the ComplexPaddedDIA wrapper"
+                )
+            return (self._matvec_real(xr) + 1j * self._matvec_real(xi)).astype(
+                x2.dtype
+            )
+        return self._matvec_real(x2)
+
+    def matvec_dot(self, x2: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x2)
+        return y, conj_dot(x2, y)
+
+    def diagonal_padded(self) -> jax.Array:
+        if 0 in self.offsets:
+            body = self.bands3[self.offsets.index(0)]
+        else:
+            body = jnp.zeros((self.r_pad, self.lanes), self.dtype)
+        halo = jnp.zeros((self.hr, self.lanes), dtype=self.dtype)
+        return jnp.concatenate([halo, body, halo], axis=0)
+
+
+jax.tree_util.register_dataclass(
+    PaddedDIA,
+    data_fields=("bands3",),
+    meta_fields=("offsets", "n", "hr", "shape", "lanes", "block_rows"),
+)
+
+
+def spmv_dia_pallas(m: DIA, x: jax.Array) -> jax.Array:
+    """Convenience flat-vector entry (converts layout per call — for
+    validation; production solvers should hold a PaddedDIA and padded
+    vectors)."""
+    p = PaddedDIA.from_dia(m)
+    return p.unpad_vec(p.matvec(p.pad_vec(x)))

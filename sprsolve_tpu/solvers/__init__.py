@@ -6,5 +6,20 @@ from .bicgstab import bicgstab
 from .minres import minres
 from .cs_minres import cs_minres
 from .gauss_seidel import gauss_seidel
+from .redblack import (
+    ColoredELL,
+    MulticolorGSPrecond,
+    gauss_seidel_redblack,
+    greedy_color,
+)
 
-__all__ = ["bicgstab", "minres", "cs_minres", "gauss_seidel"]
+__all__ = [
+    "bicgstab",
+    "minres",
+    "cs_minres",
+    "gauss_seidel",
+    "gauss_seidel_redblack",
+    "ColoredELL",
+    "MulticolorGSPrecond",
+    "greedy_color",
+]

@@ -53,13 +53,15 @@ def check_shapes(A, b, x0, axis_name=None):
     from ..errors import IncompatibleMatrixFormat
 
     n = b.shape[0]
-    if hasattr(A, "shape") and A.shape is not None:
+    # flat vectors are checked against the operator; 2-D kernel-layout vectors
+    # (e.g. PaddedDIA's padded (rows, lanes) layout) only against each other.
+    if b.ndim == 1 and hasattr(A, "shape") and A.shape is not None:
         n_global = n if axis_name is None else n * lax.axis_size(axis_name)
         if A.shape[1] != n_global:
             raise IncompatibleMatrixFormat(
                 "Input vec dimension doesn't match the matrix size"
             )
-    if x0.shape[0] != n:
+    if x0.shape != b.shape:
         raise IncompatibleMatrixFormat(
             "Input and output vec dimension do not match"
         )

@@ -1,0 +1,70 @@
+"""Pallas DIA kernel validation against the XLA oracle, in interpreter mode
+(the kernel-debugging path SURVEY.md §5 prescribes in place of sanitizers).
+The real-TPU timing/validation happens in bench.py."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import sprsolve_tpu.ops.pallas_spmv as ps
+from sprsolve_tpu.ops.spmv import spmv_dia
+from sprsolve_tpu.utils import problems
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(
+        ps.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    # the jitted wrapper caches compiled (non-interpret) kernels; clear it
+    ps._dia_pallas_call.clear_cache()
+    yield
+    ps._dia_pallas_call.clear_cache()
+
+
+def test_poisson3d_matches_oracle():
+    A = problems.poisson3d(10, 10, 10, dtype=np.float32)
+    dia = A.to_dia()
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(1000).astype(np.float32))
+    want = np.asarray(spmv_dia(dia, x))
+    got = np.asarray(ps.spmv_dia_pallas(dia, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_grid2d_matches_oracle_f64():
+    A = problems.grid_laplacian_dirichlet((20, 20))
+    dia = A.to_dia()
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(400))
+    want = np.asarray(spmv_dia(dia, x))
+    got = np.asarray(ps.spmv_dia_pallas(dia, x))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+
+
+def test_padded_layout_roundtrip():
+    A = problems.poisson3d(8, 8, 8, dtype=np.float32)
+    p = ps.PaddedDIA.from_dia(A.to_dia())
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(512).astype(np.float32))
+    x2 = p.pad_vec(x)
+    assert x2.shape == (p.hr + p.r_pad + p.hr, p.lanes)
+    np.testing.assert_array_equal(np.asarray(p.unpad_vec(x2)), np.asarray(x))
+
+
+def test_solver_runs_in_padded_layout():
+    """The whole Krylov solve can run in the kernel's 2-D layout — vecalg is
+    shape-agnostic and the zero halo is preserved by every op."""
+    import sprsolve_tpu as sp
+
+    A = problems.poisson3d(8, 8, 8, dtype=np.float64)
+    dia = A.to_dia()
+    p = ps.PaddedDIA.from_dia(dia)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(512))
+    x2, info = sp.bicgstab(p, p.pad_vec(b), p.pad_vec(jnp.zeros(512)), tol=1e-12, max_iter=500)
+    info.raise_if_error()
+    x = p.unpad_vec(x2)
+    r = np.asarray(A.matvec(x)) - np.asarray(b)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-10
