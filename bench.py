@@ -57,14 +57,21 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
 
         return jax.lax.fori_loop(0, n_iters, body, x)
 
-    jax.block_until_ready(chain(op, x, warmup))
+    # compile both chain lengths first (each static n_iters is a fresh
+    # compilation), then time; subtracting the 1-iter chain removes the
+    # dispatch + fixed overhead.
+    jax.block_until_ready(chain(op, x, iters))
+    jax.block_until_ready(chain(op, x, 1))
+    for _ in range(warmup):
+        jax.block_until_ready(chain(op, x, 1))
+
     t0 = time.perf_counter()
     jax.block_until_ready(chain(op, x, iters))
-    t1 = time.perf_counter()
-    # subtract the measured fixed overhead of a tiny chain
+    t_long = time.perf_counter() - t0
+    t0 = time.perf_counter()
     jax.block_until_ready(chain(op, x, 1))
-    t2 = time.perf_counter()
-    return max(((t1 - t0) - (t2 - t1)) / (iters - 1), 1e-9)
+    t_short = time.perf_counter() - t0
+    return max((t_long - t_short) / (iters - 1), 1e-9)
 
 
 def main():
@@ -102,19 +109,20 @@ def main():
     results["ell"] = t_ell
     log(f"spmv ELL: {t_ell*1e3:.3f} ms  -> {nnz/t_ell/1e9:.2f} Gnnz/s")
 
-    # --- Pallas kernel path, if available
+    # --- Pallas kernel path: layout conversion once (the mkl_sparse_optimize
+    # analog), then SpMV in the kernel's padded 2-D layout.
     try:
-        from sprsolve_tpu.ops.pallas_spmv import spmv_dia_pallas
+        from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
 
-        f_dia = jax.jit(lambda d, x: spmv_dia(d, x))
-        f_pk = jax.jit(lambda d, x: spmv_dia_pallas(d, x))
-        np.testing.assert_allclose(
-            np.asarray(f_pk(dia, x)), np.asarray(f_dia(dia, x)), rtol=2e-5, atol=2e-4
-        )
-        t_pk = time_spmv(spmv_dia_pallas, dia, x)
+        pdia = PaddedDIA.from_dia(dia)
+        x2 = jax.block_until_ready(pdia.pad_vec(x))
+        got = np.asarray(pdia.unpad_vec(pdia.matvec(x2)))
+        want = np.asarray(spmv_dia(dia, x))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
+        t_pk = time_spmv(lambda p, v: p.matvec(v), pdia, x2)
         results["dia_pallas"] = t_pk
         log(f"spmv DIA-pallas: {t_pk*1e3:.3f} ms  -> {nnz/t_pk/1e9:.2f} Gnnz/s")
-    except Exception as e:  # pragma: no cover - kernel may not exist yet
+    except Exception as e:  # pragma: no cover - kernel may regress on hw
         log(f"pallas path unavailable: {type(e).__name__}: {e}")
 
     # --- end-to-end BiCGStab (reference headline workload, f32 tolerance)

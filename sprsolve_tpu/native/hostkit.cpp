@@ -1,0 +1,171 @@
+// Native host toolkit for sprsolve_tpu.
+//
+// The TPU executes the solves (XLA/Pallas); this library covers the
+// CPU-side preprocessing that the reference delegates to native code
+// (MKL's inspector/optimize stage, src/mkl_mat.rs:81-148, and sprs's
+// CSR machinery): operator "optimization" = layout analysis, graph
+// coloring for multicolor Gauss-Seidel, reverse-Cuthill-McKee bandwidth
+// reduction (enables the banded fast paths for general matrices), and
+// COO canonicalization for large builds. All O(n)/O(nnz) algorithms
+// that are Python-loop-bound in pure numpy.
+//
+// Plain C ABI, consumed via ctypes (no pybind11 in this environment).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <queue>
+#include <vector>
+
+extern "C" {
+
+// Greedy first-fit coloring of the pattern given by a *symmetric* CSR
+// adjacency (indptr/indices, diagonal entries ignored).
+// colors_out: n entries. Returns the number of colors.
+int32_t greedy_color(int64_t n, const int64_t* indptr, const int32_t* indices,
+                     int32_t* colors_out) {
+  std::fill(colors_out, colors_out + n, -1);
+  std::vector<int32_t> mark;  // mark[c] == i  <=>  color c used by a neighbor of i
+  int32_t n_colors = 0;
+  mark.reserve(64);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int32_t j = indices[p];
+      if (j == i) continue;
+      int32_t cj = colors_out[j];
+      if (cj >= 0) {
+        if (cj >= (int32_t)mark.size()) mark.resize(cj + 1, -1);
+        mark[cj] = (int32_t)i;
+      }
+    }
+    int32_t c = 0;
+    while (c < (int32_t)mark.size() && mark[c] == (int32_t)i) ++c;
+    colors_out[i] = c;
+    if (c + 1 > n_colors) n_colors = c + 1;
+  }
+  return n_colors;
+}
+
+// Symmetrize a CSR pattern: out pattern = pattern(A) ∪ pattern(Aᵀ).
+// Two-call protocol: first call with out_indices == nullptr fills
+// out_indptr (n+1) and returns total nnz; second call fills out_indices.
+int64_t symmetrize_pattern(int64_t n, const int64_t* indptr,
+                           const int32_t* indices, int64_t* out_indptr,
+                           int32_t* out_indices) {
+  // counts of the merged row sets
+  std::vector<std::vector<int32_t>>* dummy = nullptr;
+  (void)dummy;
+  // build transpose counts
+  std::vector<int64_t> tc(n + 1, 0);
+  for (int64_t p = 0; p < indptr[n]; ++p) tc[indices[p] + 1]++;
+  std::vector<int64_t> tptr(n + 1, 0);
+  std::partial_sum(tc.begin(), tc.end(), tptr.begin());
+  std::vector<int32_t> tind(indptr[n]);
+  std::vector<int64_t> fill(tptr.begin(), tptr.end() - 1);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      tind[fill[indices[p]]++] = (int32_t)i;
+
+  int64_t total = 0;
+  out_indptr[0] = 0;
+  std::vector<int32_t> row;
+  for (int64_t i = 0; i < n; ++i) {
+    row.clear();
+    row.insert(row.end(), indices + indptr[i], indices + indptr[i + 1]);
+    row.insert(row.end(), tind.begin() + tptr[i], tind.begin() + tptr[i + 1]);
+    std::sort(row.begin(), row.end());
+    row.erase(std::unique(row.begin(), row.end()), row.end());
+    if (out_indices)
+      std::memcpy(out_indices + total, row.data(), row.size() * sizeof(int32_t));
+    total += (int64_t)row.size();
+    out_indptr[i + 1] = total;
+  }
+  return total;
+}
+
+// Reverse Cuthill-McKee ordering of a symmetric CSR pattern.
+// order_out[k] = original index of the k-th node in the new ordering.
+void rcm_order(int64_t n, const int64_t* indptr, const int32_t* indices,
+               int32_t* order_out) {
+  std::vector<int64_t> degree(n);
+  for (int64_t i = 0; i < n; ++i) degree[i] = indptr[i + 1] - indptr[i];
+  std::vector<uint8_t> visited(n, 0);
+  std::vector<int32_t> result;
+  result.reserve(n);
+  std::vector<int32_t> nbrs;
+
+  for (int64_t seed_scan = 0; seed_scan < n; ++seed_scan) {
+    if (visited[seed_scan]) continue;
+    // pick the minimum-degree unvisited node in this component's scan order
+    // (pseudo-peripheral heuristic kept simple: min degree start).
+    int64_t start = seed_scan;
+    // BFS in Cuthill-McKee order
+    std::queue<int32_t> q;
+    q.push((int32_t)start);
+    visited[start] = 1;
+    while (!q.empty()) {
+      int32_t u = q.front();
+      q.pop();
+      result.push_back(u);
+      nbrs.clear();
+      for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+        int32_t v = indices[p];
+        if (!visited[v]) {
+          visited[v] = 1;
+          nbrs.push_back(v);
+        }
+      }
+      std::sort(nbrs.begin(), nbrs.end(), [&](int32_t a, int32_t b) {
+        return degree[a] < degree[b];
+      });
+      for (int32_t v : nbrs) q.push(v);
+    }
+  }
+  // reverse
+  for (int64_t k = 0; k < n; ++k) order_out[k] = result[n - 1 - k];
+}
+
+// Lexicographic (row, col) sort permutation for COO triplets.
+// Counting-sort by row, then per-row std::sort by column. O(nnz + n).
+void coo_sort_perm(int64_t n_rows, int64_t nnz, const int32_t* rows,
+                   const int32_t* cols, int64_t* perm_out) {
+  std::vector<int64_t> cnt(n_rows + 1, 0);
+  for (int64_t k = 0; k < nnz; ++k) cnt[rows[k] + 1]++;
+  std::partial_sum(cnt.begin(), cnt.end(), cnt.begin());
+  std::vector<int64_t> fill(cnt.begin(), cnt.end() - 1);
+  for (int64_t k = 0; k < nnz; ++k) perm_out[fill[rows[k]]++] = k;
+  for (int64_t i = 0; i < n_rows; ++i) {
+    std::sort(perm_out + cnt[i], perm_out + cnt[i + 1],
+              [&](int64_t a, int64_t b) { return cols[a] < cols[b]; });
+  }
+}
+
+// Bandwidth (max |col - row|) of a CSR pattern — decides DIA viability.
+int64_t csr_bandwidth(int64_t n, const int64_t* indptr, const int32_t* indices) {
+  int64_t bw = 0;
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int64_t d = indices[p] > i ? indices[p] - i : i - indices[p];
+      if (d > bw) bw = d;
+    }
+  return bw;
+}
+
+// Count distinct diagonals of a CSR pattern (second decider for DIA).
+int64_t csr_count_diagonals(int64_t n, const int64_t* indptr,
+                            const int32_t* indices) {
+  std::vector<uint8_t> seen(2 * n + 1, 0);
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int64_t d = (int64_t)indices[p] - i + n;
+      if (!seen[d]) {
+        seen[d] = 1;
+        ++count;
+      }
+    }
+  return count;
+}
+
+}  // extern "C"

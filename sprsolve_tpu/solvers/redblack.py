@@ -35,27 +35,15 @@ from .common import make_info
 def greedy_color(csr: CSR) -> np.ndarray:
     """Greedy row coloring of the symmetrized adjacency (host-side).
 
-    Rows i, j conflict if a_ij ≠ 0 or a_ji ≠ 0 (GS reads neighbors' x)."""
+    Rows i, j conflict if a_ij ≠ 0 or a_ji ≠ 0 (GS reads neighbors' x).
+    Runs in the native hostkit (O(nnz) C++) with a NumPy fallback."""
+    from ..native import greedy_color as _native_color, symmetrize_pattern
+
     n = csr.shape[0]
     indptr = np.asarray(csr.indptr, dtype=np.int64)
-    indices = np.asarray(csr.indices, dtype=np.int64)
-    rows = np.asarray(csr.row_ids, dtype=np.int64)
-    # symmetrize adjacency
-    import scipy.sparse as sps
-
-    adj = sps.csr_matrix(
-        (np.ones(len(indices), np.int8), (rows, indices)), shape=csr.shape
-    )
-    adj = adj + adj.T
-    colors = np.full(n, -1, dtype=np.int32)
-    for i in range(n):
-        nbr = adj.indices[adj.indptr[i] : adj.indptr[i + 1]]
-        used = set(colors[nbr[nbr < i]].tolist())
-        c = 0
-        while c in used:
-            c += 1
-        colors[i] = c
-    return colors
+    indices = np.asarray(csr.indices, dtype=np.int32)
+    sym_indptr, sym_indices = symmetrize_pattern(n, indptr, indices)
+    return _native_color(n, sym_indptr, sym_indices)
 
 
 @dataclasses.dataclass(frozen=True)
