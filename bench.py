@@ -57,21 +57,22 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
 
         return jax.lax.fori_loop(0, n_iters, body, x)
 
-    # compile both chain lengths first (each static n_iters is a fresh
-    # compilation), then time; subtracting the 1-iter chain removes the
-    # dispatch + fixed overhead.
+    # Two chain lengths, both long enough that execution dominates the (noisy,
+    # ~ms) per-dispatch overhead; the difference cancels the fixed cost.
+    # Each static n_iters compiles once — warm both before timing.
+    short = max(iters // 5, 2)
     jax.block_until_ready(chain(op, x, iters))
-    jax.block_until_ready(chain(op, x, 1))
+    jax.block_until_ready(chain(op, x, short))
+    best = float("inf")
     for _ in range(warmup):
-        jax.block_until_ready(chain(op, x, 1))
-
-    t0 = time.perf_counter()
-    jax.block_until_ready(chain(op, x, iters))
-    t_long = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(chain(op, x, 1))
-    t_short = time.perf_counter() - t0
-    return max((t_long - t_short) / (iters - 1), 1e-9)
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(op, x, iters))
+        t_long = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(op, x, short))
+        t_short = time.perf_counter() - t0
+        best = min(best, max((t_long - t_short) / (iters - short), 1e-9))
+    return best
 
 
 def main():
@@ -99,7 +100,7 @@ def main():
 
     # --- DIA path (stencil fast path: contiguous shifted slices, no gather)
     dia = A.to_dia()
-    t_dia = time_spmv(spmv_dia, dia, x)
+    t_dia = time_spmv(spmv_dia, dia, x, iters=500)
     results["dia"] = t_dia
     log(f"spmv DIA: {t_dia*1e3:.3f} ms  -> {nnz/t_dia/1e9:.2f} Gnnz/s")
 
@@ -119,7 +120,7 @@ def main():
         got = np.asarray(pdia.unpad_vec(pdia.matvec(x2)))
         want = np.asarray(spmv_dia(dia, x))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
-        t_pk = time_spmv(lambda p, v: p.matvec(v), pdia, x2)
+        t_pk = time_spmv(lambda p, v: p.matvec(v), pdia, x2, iters=500)
         results["dia_pallas"] = t_pk
         log(f"spmv DIA-pallas: {t_pk*1e3:.3f} ms  -> {nnz/t_pk/1e9:.2f} Gnnz/s")
     except Exception as e:  # pragma: no cover - kernel may regress on hw

@@ -15,6 +15,8 @@ from . import errors, precond, vecalg
 from .api import BiCGStab, CSMinRes, GaussSeidel, MinRes
 from .errors import SolveInfo, SolverError, Status
 from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
+from .ops.optimize import optimize
+from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
 from .precond import DiagPrecond
 from .solvers import (
     ColoredELL,
@@ -53,6 +55,9 @@ __all__ = [
     "IdentityOperator",
     "DiagonalOperator",
     "DiagPrecond",
+    "optimize",
+    "PaddedDIA",
+    "ComplexPaddedDIA",
     "SolveInfo",
     "SolverError",
     "Status",

@@ -1,6 +1,8 @@
 """Compute kernels: SpMV implementations and the LinearOperator protocol."""
 
 from .operator import LinearOperator, IdentityOperator, DiagonalOperator, as_operator
+from .optimize import optimize
+from .pallas_spmv import ComplexPaddedDIA, PaddedDIA
 from .spmv import spmv_coo, spmv_csr, spmv_ell, spmv_dia
 
 __all__ = [
@@ -8,6 +10,9 @@ __all__ = [
     "IdentityOperator",
     "DiagonalOperator",
     "as_operator",
+    "optimize",
+    "PaddedDIA",
+    "ComplexPaddedDIA",
     "spmv_coo",
     "spmv_csr",
     "spmv_ell",

@@ -81,7 +81,7 @@ def _dia_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
             # [i·BR, i·BR + BR + 2·hr) — elementwise row indexing (pl.Element)
             # because consecutive windows overlap by 2·hr rows.
             pl.BlockSpec(
-                (pl.Element(block_rows + 2 * hr), lanes),
+                (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
                 lambda i: (i * block_rows, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -195,6 +195,79 @@ jax.tree_util.register_dataclass(
     PaddedDIA,
     data_fields=("bands3",),
     meta_fields=("offsets", "n", "hr", "shape", "lanes", "block_rows"),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ComplexPaddedDIA:
+    """Complex-banded operator over the real Pallas kernel.
+
+    A complex SpMV decomposes into four real band products over the same
+    structure: y_re = A_re·x_re − A_im·x_im, y_im = A_re·x_im + A_im·x_re.
+    Vectors stay complex in the padded 2-D layout; the kernel sees re/im
+    planes (Pallas TPU has no native complex path — SURVEY.md §7
+    "Complex support in Pallas").
+    """
+
+    re: PaddedDIA
+    im: PaddedDIA
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def n(self):
+        return self.re.n
+
+    @property
+    def hr(self):
+        return self.re.hr
+
+    @property
+    def lanes(self):
+        return self.re.lanes
+
+    @property
+    def r_pad(self):
+        return self.re.r_pad
+
+    @staticmethod
+    def from_dia(m: DIA, lanes: int = LANES, block_rows: int = BLOCK_ROWS):
+        bands = np.asarray(m.bands)
+        mk = lambda b: PaddedDIA.from_dia(
+            DIA(bands=jnp.asarray(b), offsets=m.offsets, shape=m.shape),
+            lanes=lanes,
+            block_rows=block_rows,
+        )
+        return ComplexPaddedDIA(re=mk(bands.real), im=mk(bands.imag))
+
+    def pad_vec(self, x: jax.Array) -> jax.Array:
+        return self.re.pad_vec(jnp.real(x)) + 1j * self.re.pad_vec(jnp.imag(x))
+
+    def unpad_vec(self, x2: jax.Array) -> jax.Array:
+        return self.re.unpad_vec(jnp.real(x2)) + 1j * self.re.unpad_vec(
+            jnp.imag(x2)
+        )
+
+    def matvec(self, x2: jax.Array) -> jax.Array:
+        xr, xi = jnp.real(x2), jnp.imag(x2)
+        yr = self.re._matvec_real(xr) - self.im._matvec_real(xi)
+        yi = self.re._matvec_real(xi) + self.im._matvec_real(xr)
+        return (yr + 1j * yi).astype(x2.dtype)
+
+    def matvec_dot(self, x2: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x2)
+        return y, conj_dot(x2, y)
+
+    def diagonal_padded(self) -> jax.Array:
+        return self.re.diagonal_padded() + 1j * self.im.diagonal_padded()
+
+
+jax.tree_util.register_dataclass(
+    ComplexPaddedDIA, data_fields=("re", "im"), meta_fields=()
 )
 
 

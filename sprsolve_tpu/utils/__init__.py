@@ -1,5 +1,6 @@
 """Utilities: test/bench problem generators and timing harness."""
 
+from . import timing
 from .problems import (
     grid_laplacian_dirichlet,
     set_boundary_condition,

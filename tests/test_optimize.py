@@ -1,0 +1,68 @@
+"""Operator-optimization tests: format selection and the complex-plane
+Pallas wrapper (interpret mode)."""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import sprsolve_tpu as sp
+import sprsolve_tpu.ops.pallas_spmv as ps
+from sprsolve_tpu.utils import problems
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(
+        ps.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    ps._dia_pallas_call.clear_cache()
+    yield
+    ps._dia_pallas_call.clear_cache()
+
+
+def test_optimize_picks_pallas_dia_for_stencil():
+    A = problems.grid_laplacian_dirichlet((16, 16))
+    op = sp.optimize(A)
+    assert isinstance(op, sp.PaddedDIA)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(256))
+    got = np.asarray(op.unpad_vec(op.matvec(op.pad_vec(x))))
+    np.testing.assert_allclose(got, np.asarray(A.matvec(x)), rtol=1e-12, atol=1e-12)
+
+
+def test_optimize_picks_ell_for_random_pattern():
+    import scipy.sparse as sps
+
+    S = sps.random(300, 300, density=0.02, random_state=0, format="csr")
+    S = S + sps.eye(300)
+    A = sp.csr_from_scipy(S)
+    op = sp.optimize(A)
+    assert isinstance(op, sp.ELL)
+
+
+def test_complex_padded_dia_matches_oracle():
+    A, rhs = problems.hermitian_grid((8, 8))
+    dia = A.to_dia()
+    op = sp.ComplexPaddedDIA.from_dia(dia)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(64)
+        + 1j * np.random.default_rng(2).standard_normal(64)
+    )
+    got = np.asarray(op.unpad_vec(op.matvec(op.pad_vec(x))))
+    want = np.asarray(A.matvec(x))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_complex_solve_via_pallas_layout():
+    """CS-MINRES on the complex-symmetric system entirely in kernel layout."""
+    A, rhs, _ = problems.complex_symmetric_grid_with_diag((8, 8))
+    op = sp.optimize(A)
+    assert isinstance(op, sp.ComplexPaddedDIA)
+    b2 = op.pad_vec(jnp.asarray(rhs))
+    x2, info = sp.cs_minres(op, b2, tol=1e-22, max_iter=300)
+    info.raise_if_error()
+    x = op.unpad_vec(x2)
+    xk = np.array([complex(i, j) for i in range(8) for j in range(8)])
+    assert np.abs(np.asarray(x) - xk).max() < 1e-12
