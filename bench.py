@@ -137,10 +137,31 @@ def main():
     t_solve = timeit(f_solve, dia, rhs, M, warmup=1, iters=3)
     iters = int(info.iterations)
     log(
-        f"bicgstab 1M rows: {t_solve*1e3:.1f} ms, {iters} iters "
+        f"bicgstab 1M rows (XLA DIA): {t_solve*1e3:.1f} ms, {iters} iters "
         f"({iters/t_solve:.0f} iters/s), res {float(info.residual):.2e}, "
         f"status {int(info.status)}"
     )
+
+    # --- same solve on the Pallas production path (padded kernel layout)
+    try:
+        from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
+
+        pdia2 = PaddedDIA.from_dia(dia)
+        b2 = jax.block_until_ready(pdia2.pad_vec(rhs))
+        M2 = pdia2.jacobi_precond()
+        f_solve2 = jax.jit(
+            lambda a, b, m: sp.bicgstab(a, b, M=m, tol=1e-4, max_iter=200)
+        )
+        x2_s, info2 = f_solve2(pdia2, b2, M2)
+        jax.block_until_ready(x2_s)
+        t_solve2 = timeit(f_solve2, pdia2, b2, M2, warmup=1, iters=3)
+        it2 = int(info2.iterations)
+        log(
+            f"bicgstab 1M rows (pallas): {t_solve2*1e3:.1f} ms, {it2} iters "
+            f"({it2/t_solve2:.0f} iters/s), res {float(info2.residual):.2e}"
+        )
+    except Exception as e:
+        log(f"pallas solve unavailable: {type(e).__name__}: {e}")
 
     # --- roofline accounting for the best SpMV path
     best_name = min(results, key=results.get)

@@ -190,6 +190,18 @@ class PaddedDIA:
         halo = jnp.zeros((self.hr, self.lanes), dtype=self.dtype)
         return jnp.concatenate([halo, body, halo], axis=0)
 
+    def jacobi_precond(self):
+        """Diagonal preconditioner in padded layout.
+
+        Halo/pad coordinates have a structurally-zero diagonal; their
+        reciprocal is forced to 1 so they stay inert (their residual is
+        always exactly 0, so multiplying by 1 preserves the zeros)."""
+        from ..precond import DiagPrecond
+
+        d = self.diagonal_padded()
+        safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+        return DiagPrecond(diag_inv=jnp.ones((), d.dtype) / safe)
+
 
 jax.tree_util.register_dataclass(
     PaddedDIA,
