@@ -20,7 +20,9 @@ from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
 from .precond import DiagPrecond
 from .solvers import (
     ColoredELL,
+    MaskedGSPrecond,
     MulticolorGSPrecond,
+    color_masks,
     bicgstab,
     cs_minres,
     gauss_seidel,
@@ -44,6 +46,8 @@ __all__ = [
     "gauss_seidel_redblack",
     "ColoredELL",
     "MulticolorGSPrecond",
+    "MaskedGSPrecond",
+    "color_masks",
     "greedy_color",
     "COO",
     "CSR",

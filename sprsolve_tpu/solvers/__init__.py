@@ -8,7 +8,9 @@ from .cs_minres import cs_minres
 from .gauss_seidel import gauss_seidel
 from .redblack import (
     ColoredELL,
+    MaskedGSPrecond,
     MulticolorGSPrecond,
+    color_masks,
     gauss_seidel_redblack,
     greedy_color,
 )
@@ -21,5 +23,7 @@ __all__ = [
     "gauss_seidel_redblack",
     "ColoredELL",
     "MulticolorGSPrecond",
+    "MaskedGSPrecond",
+    "color_masks",
     "greedy_color",
 ]

@@ -194,6 +194,69 @@ def gauss_seidel_redblack(
 
 
 @dataclasses.dataclass(frozen=True)
+class MaskedGSPrecond:
+    """Multicolor Gauss-Seidel sweeps expressed as masked whole-vector updates.
+
+    For each color class c (in order):
+        z ← where(mask_c, (r − (A·z − d⊙z)) / d, z)
+
+    Each masked update recomputes A·z with the *current* z, so classes see
+    earlier classes' updates within the sweep — exact multicolor GS — but the
+    computation is one full SpMV + elementwise ops per color: it runs through
+    whatever operator is supplied, including the Pallas DIA kernel, with no
+    gathers.  Cost: n_colors SpMVs per sweep (2 for stencil checkerboards).
+
+    Works on flat or padded-2D vectors; masks must be in the same layout
+    (padded entries False, so they stay inert).  With z₀ = 0 the map r ↦ z is
+    a fixed linear operator — valid as a Krylov preconditioner.
+    """
+
+    A: object                    # any LinearOperator (DIA/PaddedDIA/...)
+    diag: jax.Array              # same layout as vectors
+    masks: Tuple[jax.Array, ...]  # one boolean mask per color, vector layout
+    sweeps: int = 1
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    def matvec(self, r: jax.Array) -> jax.Array:
+        # pad/halo coordinates: diag is structurally 0 there; divide-by-zero
+        # is masked out but still poisons XLA's where unless guarded.
+        safe_diag = jnp.where(self.diag == 0, jnp.ones((), self.diag.dtype), self.diag)
+        z = jnp.zeros_like(r)
+        first = True
+        for _ in range(self.sweeps):
+            for mask in self.masks:
+                if first:
+                    # z = 0 ⇒ A·z = 0: skip the SpMV of the very first update
+                    zi = r / safe_diag
+                    first = False
+                else:
+                    az = self.A.matvec(z)
+                    zi = (r - (az - self.diag * z)) / safe_diag
+                z = jnp.where(mask, zi, z)
+        return z
+
+    def matvec_dot(self, r: jax.Array):
+        from ..vecalg import conj_dot
+
+        z = self.matvec(r)
+        return z, conj_dot(r, z)
+
+
+jax.tree_util.register_dataclass(
+    MaskedGSPrecond, data_fields=("A", "diag", "masks"), meta_fields=("sweeps",)
+)
+
+
+def color_masks(colors: np.ndarray) -> Tuple[jax.Array, ...]:
+    """Boolean masks per color class, flat layout."""
+    n_colors = int(colors.max()) + 1
+    return tuple(jnp.asarray(colors == c) for c in range(n_colors))
+
+
+@dataclasses.dataclass(frozen=True)
 class MulticolorGSPrecond:
     """M⁻¹·r ≈ k multicolor GS sweeps on A·z = r from z = 0.
 
