@@ -21,6 +21,7 @@ from ..errors import SolveInfo
 from ..precond import DiagPrecond
 from ..sparse.containers import CSR, DIA
 from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
+from .pallas_dist import DistPaddedDIA
 
 
 def make_solver_specs(A_parts, M_parts, axis_name: str):
@@ -61,27 +62,36 @@ def distributed_solve(
         A_parts = partition_csr(A, n_dev, axis_name)
     elif isinstance(A, DIA):
         A_parts = partition_dia(A, n_dev, axis_name)
-    elif isinstance(A, (AllGatherELL, HaloDIA)):
+    elif isinstance(A, (AllGatherELL, HaloDIA, DistPaddedDIA)):
         A_parts = A
     else:
         raise TypeError(f"cannot partition operator of type {type(A)}")
 
     n = b.shape[0]
-    n_pad = A_parts.shape[0]
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    if n_pad != n:
-        pad = jnp.zeros(n_pad - n, dtype=b.dtype)
-        b = jnp.concatenate([b, pad])
-        x0 = jnp.concatenate([x0, pad])
+    if isinstance(A_parts, DistPaddedDIA):
+        # kernel 2-D layout: (D·r_local, LANES) row blocks
+        b = A_parts.pad_vec(b)
+        x0 = A_parts.pad_vec(x0)
+        n_pad = n  # unpadding handled via the operator below
+    else:
+        n_pad = A_parts.shape[0]
+        if n_pad != n:
+            pad = jnp.zeros(n_pad - n, dtype=b.dtype)
+            b = jnp.concatenate([b, pad])
+            x0 = jnp.concatenate([x0, pad])
 
     M_parts = None
     if M is not None:
         if not isinstance(M, DiagPrecond):
             raise TypeError("distributed_solve supports DiagPrecond preconditioners")
         di = M.diag_inv
-        if di.shape[0] != n_pad:
+        if isinstance(A_parts, DistPaddedDIA):
+            # zero-padded reciprocal keeps pad coordinates inert (0·0 = 0)
+            di = A_parts.pad_vec(di)
+        elif di.shape[0] != n_pad:
             di = jnp.concatenate(
                 [di, jnp.ones(n_pad - di.shape[0], dtype=di.dtype)]
             )
@@ -106,12 +116,18 @@ def distributed_solve(
 
         args = (A_parts, b, x0, M_parts)
 
-    sharded = jax.shard_map(run, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    # check_vma=False: Pallas out_shapes inside the solver carry no
+    # varying-across-mesh annotation; the data flow is still fully sharded.
+    sharded = jax.shard_map(
+        run, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
     x_pad, info = sharded(*args)
     # Replicate the solution before returning: downstream host-side use
     # (residual checks, slicing off the padding) on a row-sharded array would
     # hit gather-sharding ambiguities. The solve itself ran fully sharded.
     x_pad = jax.device_put(x_pad, jax.sharding.NamedSharding(mesh, P()))
+    if isinstance(A_parts, DistPaddedDIA):
+        return A_parts.unpad_vec(x_pad), info
     if n_pad != n:
         x_pad = x_pad[:n]
     return x_pad, info
