@@ -14,6 +14,6 @@ All containers are registered pytrees, so they pass through ``jax.jit``,
 ``lax.while_loop`` carries and ``shard_map`` untouched.
 """
 
-from .containers import COO, CSR, ELL, DIA, csr_from_scipy, csr_from_dense
+from .containers import COO, CSC, CSR, ELL, DIA, csr_from_scipy, csr_from_dense
 
-__all__ = ["COO", "CSR", "ELL", "DIA", "csr_from_scipy", "csr_from_dense"]
+__all__ = ["COO", "CSC", "CSR", "ELL", "DIA", "csr_from_scipy", "csr_from_dense"]

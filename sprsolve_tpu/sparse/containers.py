@@ -294,6 +294,73 @@ class DIA:
 _register(DIA, data_fields=("bands",), meta_fields=("offsets", "shape"))
 
 
+@dataclasses.dataclass(frozen=True)
+class CSC:
+    """Compressed sparse column. The reference supports CSC views with an
+    unoptimized SpMV fallback (``src/mat.rs:130-142``); here CSC is an
+    interchange format whose SpMV goes through the same flat scatter path
+    (col-major COO + segment-sum over rows)."""
+
+    data: jax.Array      # (nnz,)
+    indices: jax.Array   # (nnz,) int32 row index per entry
+    indptr: jax.Array    # (n_cols + 1,) int32
+    col_ids: jax.Array   # (nnz,) int32 column index per entry
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.data.shape[0]
+
+    @staticmethod
+    def from_arrays(data, indices, indptr, shape) -> "CSC":
+        data = jnp.asarray(data)
+        indices = jnp.asarray(indices, dtype=jnp.int32)
+        indptr_np = np.asarray(indptr, dtype=np.int64)
+        col_ids = np.repeat(np.arange(shape[1], dtype=np.int32), np.diff(indptr_np))
+        return CSC(
+            data=data,
+            indices=indices,
+            indptr=jnp.asarray(indptr_np, dtype=jnp.int32),
+            col_ids=jnp.asarray(col_ids),
+            shape=tuple(shape),
+        )
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        # y[row] += a[row, col] * x[col] — scatter-add over rows, the same
+        # shape as the reference's per-column accumulation loop.
+        contrib = self.data * jnp.take(x, self.col_ids)
+        return jax.ops.segment_sum(
+            contrib, self.indices, num_segments=self.shape[0]
+        )
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+    def to_csr(self) -> "CSR":
+        coo = COO(
+            data=self.data, row=self.indices, col=self.col_ids, shape=self.shape
+        )
+        return CSR.from_coo(coo)
+
+    def todense(self) -> jax.Array:
+        out = jnp.zeros(self.shape, dtype=self.dtype)
+        return out.at[self.indices, self.col_ids].add(self.data)
+
+
+_register(
+    CSC,
+    data_fields=("data", "indices", "indptr", "col_ids"),
+    meta_fields=("shape",),
+)
+
+
 def csr_from_scipy(m) -> CSR:
     """Build from a scipy.sparse matrix (any format)."""
     m = m.tocsr()

@@ -31,9 +31,8 @@ def test_csr_spmv_reference_values():
 
 
 def test_csc_spmv_reference_values():
-    # src/mat.rs:208-229 (dense_csc_mat): CSC(indptr, indices, data) == CSRᵀ.
-    # We have no CSC container (the reference's own CSC path is an unoptimized
-    # fallback, src/mat.rs:130-142); transpose into COO instead.
+    # src/mat.rs:208-229 (dense_csc_mat) via the COO path (the CSC container
+    # itself is exercised in test_csc_container_matches_reference_values).
     indptr = np.array([0, 2, 4, 5, 6, 7])
     indices = np.array([2, 3, 3, 4, 2, 1, 3])  # row indices per column
     data = np.array(
@@ -117,3 +116,22 @@ def test_duplicate_coo_entries_sum():
     csr = coo.to_csr()
     assert csr.nnz == 2
     np.testing.assert_allclose(np.asarray(csr.todense()), np.asarray(coo.todense()))
+
+
+def test_csc_container_matches_reference_values():
+    from sprsolve_tpu import CSC
+
+    # the reference CSC fixture (src/mat.rs:208-229) through the CSC container
+    indptr = np.array([0, 2, 4, 5, 6, 7])
+    indices = np.array([2, 3, 3, 4, 2, 1, 3])
+    data = np.array(
+        [0.35310881, 0.42380633, 0.28035896, 0.58082095, 0.53350123, 0.88132896, 0.72527863]
+    )
+    mat = CSC.from_arrays(data, indices, indptr, (5, 5))
+    v = jnp.asarray([0.1, 0.2, -0.1, 0.3, 0.9])
+    expected = [0.0, 0.26439869, -0.01803924, 0.75120319, 0.11616419]
+    np.testing.assert_allclose(mat.matvec(v), expected, atol=EPS)
+    # CSC -> CSR roundtrip preserves the matrix
+    np.testing.assert_allclose(
+        np.asarray(mat.to_csr().todense()), np.asarray(mat.todense()), atol=1e-15
+    )
