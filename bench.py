@@ -50,26 +50,28 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
     import jax.numpy as jnp
     from functools import partial
 
-    @partial(jax.jit, static_argnums=2)
+    @jax.jit
     def chain(op, x, n_iters):
+        # n_iters is TRACED: the loop bound stays dynamic, so XLA cannot
+        # unroll it (an unrolled 500-copy Pallas loop took ~10 min to
+        # compile remotely) and one compilation serves every length.
         def body(_, x):
             return spmv(op, x) * jnp.asarray(0.125, x.dtype)
 
-        return jax.lax.fori_loop(0, n_iters, body, x)
+        return jax.lax.fori_loop(0, n_iters, body, x, unroll=1)
 
     # Two chain lengths, both long enough that execution dominates the (noisy,
     # ~ms) per-dispatch overhead; the difference cancels the fixed cost.
-    # Each static n_iters compiles once — warm both before timing.
     short = max(iters // 5, 2)
-    jax.block_until_ready(chain(op, x, iters))
-    jax.block_until_ready(chain(op, x, short))
+    jax.block_until_ready(chain(op, x, jnp.int32(iters)))
+    jax.block_until_ready(chain(op, x, jnp.int32(short)))
     best = float("inf")
-    for _ in range(warmup):
+    for _ in range(max(warmup, 3)):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(op, x, iters))
+        jax.block_until_ready(chain(op, x, jnp.int32(iters)))
         t_long = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(op, x, short))
+        jax.block_until_ready(chain(op, x, jnp.int32(short)))
         t_short = time.perf_counter() - t0
         best = min(best, max((t_long - t_short) / (iters - short), 1e-9))
     return best
@@ -162,6 +164,44 @@ def main():
         )
     except Exception as e:
         log(f"pallas solve unavailable: {type(e).__name__}: {e}")
+
+    # --- optional large-scale single-chip check (~10M rows, BENCH_LARGE=1)
+    import os
+
+    if os.environ.get("BENCH_LARGE") == "1":
+        from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
+
+        A10 = problems.poisson3d(216, 216, 216, dtype=np.float32)  # 10.08M rows
+        n10, nnz10 = A10.shape[0], A10.nnz
+        p10 = PaddedDIA.from_dia(A10.to_dia())
+        x10 = jax.block_until_ready(
+            p10.pad_vec(jnp.asarray(rng.standard_normal(n10).astype(np.float32)))
+        )
+        t10 = time_spmv(lambda p, v: p.matvec(v), p10, x10, iters=100)
+        log(f"spmv 10M-row pallas: {t10*1e3:.3f} ms -> {nnz10/t10/1e9:.2f} Gnnz/s")
+        b10 = p10.pad_vec(jnp.asarray(rng.standard_normal(n10).astype(np.float32)))
+        f10 = jax.jit(lambda a, b, m: sp.bicgstab(a, b, M=m, tol=1e-4, max_iter=400))
+        xs10, info10 = f10(p10, b10, p10.jacobi_precond())
+        jax.block_until_ready(xs10)
+        t_s10 = timeit(f10, p10, b10, p10.jacobi_precond(), warmup=1, iters=2)
+        log(
+            f"bicgstab 10M rows (pallas): {t_s10*1e3:.1f} ms, "
+            f"{int(info10.iterations)} iters, res {float(info10.residual):.2e}"
+        )
+
+    # --- reference 2-D workload (benches/bicgstab.rs: 100x100 grid, n=10k)
+    A2d = problems.grid_laplacian_dirichlet((100, 100), dtype=np.float32)
+    rhs2d = np.zeros(10000, dtype=np.float32)
+    problems.set_boundary_condition(rhs2d, (100, 100), lambda r, c: float(r + c))
+    dia2d = A2d.to_dia()
+    f2d = jax.jit(lambda a, b: sp.bicgstab(a, b, tol=1e-7, max_iter=1500))
+    x2d, i2d = f2d(dia2d, jnp.asarray(rhs2d))
+    jax.block_until_ready(x2d)
+    t2d = timeit(f2d, dia2d, jnp.asarray(rhs2d), warmup=1, iters=3)
+    log(
+        f"bicgstab 100x100 grid (reference workload): {t2d*1e3:.2f} ms, "
+        f"{int(i2d.iterations)} iters, res {float(i2d.residual):.2e}"
+    )
 
     # --- roofline accounting for the best SpMV path
     best_name = min(results, key=results.get)

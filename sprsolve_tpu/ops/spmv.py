@@ -46,6 +46,37 @@ def spmv_ell(m: ELL, x: jax.Array) -> jax.Array:
     return jnp.sum(m.data * gathered, axis=1)
 
 
+def spmm_csr(m: CSR, X: jax.Array) -> jax.Array:
+    """Y = A·X for CSR with X of shape (n, k) — multi-RHS SpMM."""
+    contrib = m.data[:, None] * jnp.take(X, m.indices, axis=0)
+    return jax.ops.segment_sum(
+        contrib, m.row_ids, num_segments=m.shape[0], indices_are_sorted=True
+    )
+
+
+def spmm_ell(m: ELL, X: jax.Array) -> jax.Array:
+    """Y = A·X for ELL: (n, k_slots, rhs) gather then reduce over slots."""
+    gathered = jnp.take(X, m.cols, axis=0)  # (n, k_slots, rhs)
+    return jnp.sum(m.data[:, :, None] * gathered, axis=1)
+
+
+def spmm_dia(m: DIA, X: jax.Array) -> jax.Array:
+    """Y = A·X for DIA: shifted contiguous row-blocks of X, no gathers."""
+    n = m.shape[0]
+    k = X.shape[1]
+    Y = jnp.zeros((n, k), dtype=jnp.result_type(m.dtype, X.dtype))
+    pad = lambda rows: jnp.zeros((rows, k), dtype=X.dtype)
+    for d, off in enumerate(m.offsets):
+        if off == 0:
+            shifted = X
+        elif off > 0:
+            shifted = jnp.concatenate([X[off:], pad(off)])
+        else:
+            shifted = jnp.concatenate([pad(-off), X[:off]])
+        Y = Y + m.bands[d][:, None] * shifted
+    return Y
+
+
 def spmv_dia(m: DIA, x: jax.Array) -> jax.Array:
     """y = A·x for DIA: y[i] = Σ_d bands[d, i] · x[i + off_d].
 

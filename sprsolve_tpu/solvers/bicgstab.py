@@ -30,7 +30,24 @@ from jax import lax
 from ..errors import SolveInfo, Status
 from ..ops.operator import IdentityOperator
 from ..vecalg import axpby, axpy, conj_dot, eps_for, norm2
-from .common import check_shapes, make_info, with_zero_rhs_guard
+from .common import check_shapes, make_info
+
+
+def _guard3(b, x0, main, axis_name, hist_len, rdt):
+    """Zero-rhs guard for the 3-output (x, info, hist) form."""
+    from ..vecalg import eps_for, norm2 as _n2
+
+    rhs_norm = _n2(b, axis_name)
+    eps = eps_for(b.dtype)
+
+    def trivial(_):
+        return (
+            jnp.zeros_like(x0),
+            make_info(0, rhs_norm, Status.CONVERGED),
+            jnp.full(hist_len, jnp.nan, dtype=rdt),
+        )
+
+    return lax.cond(rhs_norm <= eps, trivial, lambda _: main(rhs_norm), None)
 
 
 class _State(NamedTuple):
@@ -46,6 +63,7 @@ class _State(NamedTuple):
     its: jax.Array          # int32
     status: jax.Array       # int32
     res: jax.Array          # real scalar: relative residual at termination
+    hist: jax.Array         # (max_iter,) per-iteration relative residuals, or (0,)
 
 
 def bicgstab(
@@ -57,6 +75,7 @@ def bicgstab(
     tol,
     max_iter,
     axis_name: Optional[str] = None,
+    record_residuals: bool = False,
 ):
     """Solve A·x = b with BiCGStab. Returns ``(x, SolveInfo)``.
 
@@ -65,6 +84,11 @@ def bicgstab(
     preconditioner *apply* operator (an approximation of A⁻¹, e.g.
     :class:`~sprsolve_tpu.precond.DiagPrecond`).  ``axis_name`` makes all
     reductions collective for row-partitioned operators under ``shard_map``.
+
+    ``record_residuals=True`` (requires a static ``max_iter``) additionally
+    returns the per-iteration relative-residual trace as a third output —
+    the observability the reference lacks (SURVEY.md §5: println-only).
+    Entries beyond the final iteration are NaN.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -74,6 +98,10 @@ def bicgstab(
 
     rdt = jnp.finfo(b.dtype).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype
     tol = jnp.asarray(tol, dtype=rdt)
+    if record_residuals:
+        hist_len = int(max_iter)  # must be static to size the trace buffer
+    else:
+        hist_len = 0
     max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
     eps = eps_for(b.dtype)
     T = b.dtype
@@ -86,7 +114,10 @@ def bicgstab(
         r0_norm = norm2(r, axis_name)
 
         def early_converged(_):
-            return x0, make_info(0, r0_norm / rhs_norm, Status.CONVERGED)
+            hist = jnp.full(hist_len, jnp.nan, dtype=rdt)
+            if hist_len:
+                hist = hist.at[0].set(r0_norm / rhs_norm)
+            return x0, make_info(0, r0_norm / rhs_norm, Status.CONVERGED), hist
 
         def iterate(_):
             r0 = r
@@ -111,11 +142,14 @@ def bicgstab(
             x = axpy(-w, z, x)
             r_new = axpy(-w, t, s)
 
+            hist0 = jnp.full(hist_len, jnp.nan, dtype=rdt)
+            if hist_len:
+                hist0 = hist0.at[0].set(r0_norm / rhs_norm)
             st = _State(
                 x=x, r=r_new, r0=r0, p=p, v=v,
                 rho=rho, alpha=alpha, w=w, r0_norm_tol=r0_norm_tol,
                 its=jnp.int32(1), status=jnp.int32(Status.RUNNING),
-                res=jnp.zeros((), rdt),
+                res=jnp.zeros((), rdt), hist=hist0,
             )
 
             def cond_fn(s_):
@@ -123,6 +157,10 @@ def bicgstab(
 
             def body_fn(s_):
                 r_norm = norm2(s_.r, axis_name)
+                if hist_len:
+                    s_ = s_._replace(
+                        hist=s_.hist.at[s_.its].set(r_norm / rhs_norm)
+                    )
 
                 def converged(s_):
                     return s_._replace(
@@ -188,6 +226,7 @@ def bicgstab(
                             its=s_.its + 1,
                             status=s_.status,
                             res=s_.res,
+                            hist=s_.hist,
                         )
 
                     # breakdown exit: |r0·v| ≤ 0 (src/bicg_stab.rs:164-167)
@@ -209,8 +248,11 @@ def bicgstab(
                 norm2(final.r, axis_name) / rhs_norm,
                 final.res,
             )
-            return final.x, make_info(final.its, res, status)
+            return final.x, make_info(final.its, res, status), final.hist
 
         return lax.cond(r0_norm <= tol2, early_converged, iterate, None)
 
-    return with_zero_rhs_guard(b, x0, main, axis_name)
+    x, info, hist = _guard3(b, x0, main, axis_name, hist_len, rdt)
+    if record_residuals:
+        return x, info, hist
+    return x, info

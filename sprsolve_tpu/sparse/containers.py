@@ -140,6 +140,12 @@ class CSR:
         y = self.matvec(x)
         return y, conj_dot(x, y)
 
+    def matmat(self, X: jax.Array) -> jax.Array:
+        """Y = A·X, multi-RHS SpMM."""
+        from ..ops.spmv import spmm_csr
+
+        return spmm_csr(self, X)
+
     def to_ell(self, k: int | None = None) -> "ELL":
         return ELL.from_csr(self, k=k)
 
@@ -223,6 +229,11 @@ class ELL:
         y = self.matvec(x)
         return y, conj_dot(x, y)
 
+    def matmat(self, X: jax.Array) -> jax.Array:
+        from ..ops.spmv import spmm_ell
+
+        return spmm_ell(self, X)
+
     def diagonal(self) -> jax.Array:
         n = self.shape[0]
         rows = jnp.arange(n, dtype=jnp.int32)[:, None]
@@ -284,6 +295,11 @@ class DIA:
 
         y = self.matvec(x)
         return y, conj_dot(x, y)
+
+    def matmat(self, X: jax.Array) -> jax.Array:
+        from ..ops.spmv import spmm_dia
+
+        return spmm_dia(self, X)
 
     def diagonal(self) -> jax.Array:
         if 0 in self.offsets:

@@ -83,3 +83,18 @@ def test_bicgstab_dia_and_ell_backends_converge():
         info.raise_if_error()
         r = np.asarray(A.matvec(x)) - rhs
         assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-12
+
+
+def test_bicgstab_residual_history():
+    A, rhs = _dirichlet_problem((10, 10))
+    x, info, hist = sp.bicgstab(
+        A, jnp.asarray(rhs), tol=1e-14, max_iter=200, record_residuals=True
+    )
+    info.raise_if_error()
+    k = int(info.iterations)
+    h = np.asarray(hist)
+    assert h.shape == (200,)
+    assert np.all(np.isfinite(h[: k + 1]))       # recorded up to termination
+    assert np.all(np.isnan(h[k + 1 :]))           # untouched beyond
+    assert h[k] <= 1e-14                          # last recorded == converged check
+    assert h[0] == 1.0                            # r0 = -b with x0=0 → rel res 1

@@ -135,3 +135,18 @@ def test_csc_container_matches_reference_values():
     np.testing.assert_allclose(
         np.asarray(mat.to_csr().todense()), np.asarray(mat.todense()), atol=1e-15
     )
+
+
+def test_spmm_matches_column_matvecs():
+    from sprsolve_tpu.ops.spmv import spmm_csr, spmm_dia, spmm_ell
+
+    A = problems.grid_laplacian_dirichlet((10, 10))
+    X = jnp.asarray(np.random.default_rng(3).standard_normal((100, 4)))
+    want = np.stack([np.asarray(A.matvec(X[:, j])) for j in range(4)], axis=1)
+    for got in (
+        spmm_csr(A, X),
+        spmm_ell(A.to_ell(), X),
+        spmm_dia(A.to_dia(), X),
+        A.matmat(X),
+    ):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-14, atol=1e-14)
