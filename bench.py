@@ -65,7 +65,7 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
     short = max(iters // 5, 2)
     jax.block_until_ready(chain(op, x, jnp.int32(iters)))
     jax.block_until_ready(chain(op, x, jnp.int32(short)))
-    best = float("inf")
+    diffs = []
     for _ in range(max(warmup, 3)):
         t0 = time.perf_counter()
         jax.block_until_ready(chain(op, x, jnp.int32(iters)))
@@ -73,8 +73,9 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
         t0 = time.perf_counter()
         jax.block_until_ready(chain(op, x, jnp.int32(short)))
         t_short = time.perf_counter() - t0
-        best = min(best, max((t_long - t_short) / (iters - short), 1e-9))
-    return best
+        diffs.append((t_long - t_short) / (iters - short))
+    diffs.sort()
+    return max(diffs[len(diffs) // 2], 1e-9)  # median rep
 
 
 def main():
@@ -108,7 +109,7 @@ def main():
 
     # --- ELL path (general sparsity: explicit index gather)
     ell = A.to_ell()
-    t_ell = time_spmv(spmv_ell, ell, x, iters=10)
+    t_ell = time_spmv(spmv_ell, ell, x, iters=200)
     results["ell"] = t_ell
     log(f"spmv ELL: {t_ell*1e3:.3f} ms  -> {nnz/t_ell/1e9:.2f} Gnnz/s")
 
@@ -204,15 +205,24 @@ def main():
     )
 
     # --- roofline accounting for the best SpMV path
-    best_name = min(results, key=results.get)
-    t_best = results[best_name]
-    if best_name.startswith("dia"):
-        # algorithmic bytes: bands + x + y (each element read/written once)
-        n_diags = dia.bands.shape[0]
-        bytes_alg = (n_diags * n + 2 * n) * 4
-    else:
+    def bytes_for(name):
+        if name.startswith("dia"):
+            # algorithmic bytes: bands + x + y (each element read/written once)
+            return (dia.bands.shape[0] * n + 2 * n) * 4
         # ELL: data + cols(int32) + x + y
-        bytes_alg = (ell.k * n * 2 + 2 * n) * 4
+        return (ell.k * n * 2 + 2 * n) * 4
+
+    # sanity: discard measurements implying > 2 TB/s effective bandwidth
+    # (dispatch-noise artifacts of the differential timing)
+    plausible = {
+        k: v for k, v in results.items() if bytes_for(k) / v <= 2.0e12
+    }
+    for k in results:
+        if k not in plausible:
+            log(f"discarding implausible measurement {k}: {results[k]*1e3:.4f} ms")
+    best_name = min(plausible, key=plausible.get)
+    t_best = plausible[best_name]
+    bytes_alg = bytes_for(best_name)
     bytes_per_nnz = bytes_alg / nnz
     roofline_nnz_s = HBM_GBPS * 1e9 / bytes_per_nnz
     achieved_nnz_s = nnz / t_best

@@ -193,3 +193,93 @@ def test_minres_complex_iteration_parity():
     # stagnates; counts there are sensitive to reduction order (serial 110 vs
     # XLA 105 when recorded) — allow 10%
     assert abs(it_jax - it_serial) <= max(3, it_serial // 10)
+
+
+def serial_minres_precond(A, b, x, M_diag_inv, max_iter, tol):
+    """Left-fold serial preconditioned MINRES (src/minres.rs:178-341)."""
+    A = np.asarray(A)
+    eps = np.finfo(b.real.dtype).eps
+    rhs_norm = _fold_norm2(b)
+    if rhs_norm <= eps:
+        return 0, rhs_norm, "converged"
+    threshold = tol * rhs_norm
+    T = b.dtype
+    c = c_old = T.type(1)
+    s = s_old = 0.0
+    eta = T.type(1)
+    v_new = b - A @ x
+    res_norm = _fold_norm2(v_new)
+    w_new = v_new * M_diag_inv
+    beta_new2 = _fold_conj_dot(v_new, w_new)
+    if np.real(beta_new2) < eps or np.imag(beta_new2) > eps * np.real(beta_new2):
+        return 0, None, "invalid_precond"
+    beta_new = np.sqrt(np.real(beta_new2))
+    beta_one = beta_new
+    ts = 1.0 / beta_new
+    v_new = v_new * ts
+    w_new = w_new * ts
+    v = np.zeros_like(b)
+    w = np.zeros_like(b)
+    p_old = np.zeros_like(b)
+    p = np.zeros_like(b)
+    for its in range(max_iter):
+        beta = beta_new
+        v_old, v = v, v_new
+        w = w_new
+        v_new = A @ w
+        alpha = _fold_conj_dot(w, v_new)
+        v_new = v_new - beta * v_old
+        v_new = v_new - alpha * v
+        w_new = v_new * M_diag_inv
+        beta_new2 = _fold_conj_dot(v_new, w_new)
+        if np.real(beta_new2) < eps or np.imag(beta_new2) > eps * np.real(beta_new2):
+            return its, None, "invalid_precond"
+        beta_new = np.sqrt(np.real(beta_new2))
+        ts = 1.0 / beta_new
+        v_new = v_new * ts
+        w_new = w_new * ts
+        r3 = s_old * beta
+        tr = c_old * beta
+        r2 = alpha * s + c * tr
+        r1_hat = c * alpha - tr * s
+        r1_inv = 1.0 / np.sqrt((r1_hat * np.conj(r1_hat)).real + beta_new * beta_new)
+        c_old, s_old = c, s
+        c = r1_hat * r1_inv
+        s = beta_new * r1_inv
+        p_oold, p_old = p_old, p
+        p = w - r2 * p_old
+        p = p - r3 * p_oold
+        p = p * r1_inv
+        x = x + (c * eta) * beta_one * p
+        res_norm = res_norm * abs(s)
+        if res_norm < threshold:
+            return its, res_norm / rhs_norm, "converged"
+        eta = eta * (-s)
+    return max_iter, None, "max_iter"
+
+
+def test_precond_minres_complex_parity():
+    A, rhs, diag = problems.hermitian_grid_with_diag((8, 8))
+    dense = np.asarray(A.todense())
+    it_serial, _, st = serial_minres_precond(
+        dense, rhs, np.zeros(64, np.complex128), 1.0 / diag, 300, 1e-22
+    )
+    assert st == "converged"
+    P = sp.DiagPrecond.new(diag)
+    _, (it_jax, _) = sp.MinRes.new(A, 64).precond_solve(P, rhs, max_iter=300, tol=1e-22)
+    assert abs(it_jax - it_serial) <= max(3, it_serial // 10)
+
+
+def test_precond_bicgstab_complex_parity():
+    A, rhs, diag = problems.complex_symmetric_grid_with_diag((8, 8))
+    dense = np.asarray(A.todense())
+    it_serial, res_serial, st = serial_bicgstab(
+        dense, rhs, np.zeros(64, np.complex128), 300, 1e-22, M=1.0 / diag
+    )
+    assert st == "converged"
+    P = sp.DiagPrecond.new(diag)
+    _, (it_jax, res_jax) = sp.BiCGStab.new(A, 64).precond_solve(
+        P, rhs, max_iter=300, tol=1e-22
+    )
+    assert res_jax <= 1e-22 and res_serial <= 1e-22
+    assert abs(it_jax - it_serial) <= max(10, it_serial)
