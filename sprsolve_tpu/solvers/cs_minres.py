@@ -44,6 +44,7 @@ class _State(NamedTuple):
     its: jax.Array
     status: jax.Array
     res: jax.Array
+    hist: jax.Array
 
 
 def cs_minres(
@@ -54,8 +55,10 @@ def cs_minres(
     tol,
     max_iter,
     axis_name: Optional[str] = None,
+    record_residuals: bool = False,
 ):
-    """Solve A·x = b for complex-symmetric A. Returns ``(x, SolveInfo)``."""
+    """Solve A·x = b for complex-symmetric A. Returns ``(x, SolveInfo)``,
+    plus the residual trace when ``record_residuals=True`` (static max_iter)."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
     check_shapes(A, b, x0, axis_name)
@@ -63,6 +66,7 @@ def cs_minres(
     T = b.dtype
     rdt = jnp.finfo(T).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype
     tol = jnp.asarray(tol, dtype=rdt)
+    hist_len = int(max_iter) if record_residuals else 0
     max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
     one_t = jnp.ones((), T)
     zero_r = jnp.zeros((), rdt)
@@ -85,6 +89,7 @@ def cs_minres(
             its=jnp.int32(0),
             status=jnp.int32(Status.RUNNING),
             res=zero_r,
+            hist=jnp.full(hist_len, jnp.nan, dtype=rdt),
         )
 
         def cond_fn(s_):
@@ -125,6 +130,10 @@ def cs_minres(
             converged = res_norm < threshold
             eta = s_.eta * (-s_sin)
 
+            hist = s_.hist
+            if hist_len:
+                hist = hist.at[s_.its].set(res_norm / rhs_norm)
+
             return _State(
                 x=x, v=v, v_new=v_new, p=p_new, p_old=s_.p,
                 beta_new=beta_new,
@@ -135,6 +144,7 @@ def cs_minres(
                     converged, jnp.int32(Status.CONVERGED), s_.status
                 ),
                 res=jnp.where(converged, res_norm / rhs_norm, s_.res),
+                hist=hist,
             )
 
         final = lax.while_loop(cond_fn, body_fn, st0)
@@ -148,6 +158,11 @@ def cs_minres(
             final.res_norm / rhs_norm,
             final.res,
         )
-        return final.x, make_info(final.its, res, status)
+        return final.x, make_info(final.its, res, status), final.hist
 
-    return with_zero_rhs_guard(b, x0, main, axis_name)
+    from .bicgstab import _guard3
+
+    x, info, hist = _guard3(b, x0, main, axis_name, hist_len, rdt)
+    if record_residuals:
+        return x, info, hist
+    return x, info

@@ -50,6 +50,7 @@ class _State(NamedTuple):
     its: jax.Array
     status: jax.Array
     res: jax.Array       # relative residual at termination
+    hist: jax.Array      # (max_iter,) per-iteration recurrence residuals, or (0,)
 
 
 def minres(
@@ -61,11 +62,14 @@ def minres(
     tol,
     max_iter,
     axis_name: Optional[str] = None,
+    record_residuals: bool = False,
 ):
     """Solve A·x = b with MINRES (A symmetric/Hermitian, may be indefinite).
 
     Like the reference (``src/minres.rs:11``), symmetry is not checked.
-    Returns ``(x, SolveInfo)``.
+    Returns ``(x, SolveInfo)``; with ``record_residuals=True`` (static
+    ``max_iter`` required) also the per-iteration recurrence-residual trace
+    (relative, NaN beyond termination) as a third output.
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -75,6 +79,7 @@ def minres(
     T = b.dtype
     rdt = jnp.finfo(T).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype
     tol = jnp.asarray(tol, dtype=rdt)
+    hist_len = int(max_iter) if record_residuals else 0
     max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
     eps = eps_for(b.dtype)
     one_t = jnp.ones((), T)
@@ -121,6 +126,7 @@ def minres(
                 jnp.int32(Status.RUNNING),
             ),
             res=zero_r,
+            hist=jnp.full(hist_len, jnp.nan, dtype=rdt),
         )
 
         def cond_fn(s_):
@@ -182,6 +188,10 @@ def minres(
                 converged = res_norm < threshold
                 eta = s_.eta * (-s_sin)
 
+                hist = s_.hist
+                if hist_len:
+                    hist = hist.at[s_.its].set(res_norm / rhs_norm)
+
                 return _State(
                     x=x,
                     v=v, v_new=vn,
@@ -197,6 +207,7 @@ def minres(
                         converged, jnp.int32(Status.CONVERGED), s_.status
                     ),
                     res=jnp.where(converged, res_norm / rhs_norm, s_.res),
+                    hist=hist,
                 )
 
             if has_precond:
@@ -221,6 +232,11 @@ def minres(
             final.res_norm / rhs_norm,
             final.res,
         )
-        return final.x, make_info(final.its, res, status)
+        return final.x, make_info(final.its, res, status), final.hist
 
-    return with_zero_rhs_guard(b, x0, main, axis_name)
+    from .bicgstab import _guard3
+
+    x, info, hist = _guard3(b, x0, main, axis_name, hist_len, rdt)
+    if record_residuals:
+        return x, info, hist
+    return x, info

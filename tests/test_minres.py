@@ -44,3 +44,20 @@ def test_minres_indefinite():
     info.raise_if_error()
     r = np.asarray(A.matvec(x)) - rhs
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-10
+
+
+def test_minres_residual_history():
+    import jax.numpy as jnp
+
+    A, rhs = problems.sym_grid_laplacian((8, 8))
+    x, info, hist = sp.minres(
+        A, jnp.asarray(rhs), tol=1e-22, max_iter=300, record_residuals=True
+    )
+    info.raise_if_error()
+    k = int(info.iterations)
+    h = np.asarray(hist)
+    assert h.shape == (300,)
+    assert np.all(np.isfinite(h[: k + 1]))
+    assert np.all(np.isnan(h[k + 1 :]))
+    # the recurrence estimate is monotone non-increasing for MINRES
+    assert np.all(np.diff(h[: k + 1]) <= 1e-16)
