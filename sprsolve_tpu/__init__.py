@@ -12,7 +12,7 @@ Public surface mirrors the reference re-exports (``src/lib.rs:15-21``).
 """
 
 from . import errors, precond, vecalg
-from .api import BiCGStab, CSMinRes, GaussSeidel, MinRes
+from .api import BiCGStab, CSMinRes, GaussSeidel, MinRes, solve
 from .errors import SolveInfo, SolverError, Status
 from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
 from .ops.optimize import optimize
@@ -35,6 +35,7 @@ from .sparse import COO, CSC, CSR, DIA, ELL, csr_from_dense, csr_from_scipy
 __version__ = "0.1.0"
 
 __all__ = [
+    "solve",
     "BiCGStab",
     "MinRes",
     "CSMinRes",

@@ -46,6 +46,71 @@ def _run(fn, A, b, x, max_iter, tol, M=None):
     return xr, (int(info.iterations), float(info.residual))
 
 
+_SOLVERS = {
+    "bicgstab": bicgstab,
+    "minres": minres,
+    "cs_minres": cs_minres,
+}
+
+
+def solve(
+    A,
+    b,
+    *,
+    method: str = "bicgstab",
+    M=None,
+    tol: float = 1e-8,
+    max_iter: int = 1000,
+    x0=None,
+    optimize_layout: bool = True,
+):
+    """One-call solve: pick the execution layout, run, return ``(x, info)``.
+
+    ``A`` may be a CSR container (layout chosen via :func:`optimize` — the
+    Pallas kernel path for banded matrices, with transparent padding) or any
+    LinearOperator (used as-is).  ``M`` may be a :class:`DiagPrecond` or
+    ``"jacobi"`` to build one from A's diagonal.  This is the high-level
+    entry a user of the reference's ``BiCGStab::new(...).solve(...)`` flow
+    reaches for when they don't care about layouts.
+    """
+    from .ops.optimize import optimize as _optimize
+    from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
+
+    solver = _SOLVERS[method]
+    b = jnp.asarray(b)
+
+    op = A
+    if isinstance(A, CSR) and optimize_layout:
+        op = _optimize(A)
+
+    from .precond import DiagPrecond as _DP
+
+    padded = isinstance(op, (PaddedDIA, ComplexPaddedDIA))
+    if padded:
+        if isinstance(M, str) and M == "jacobi":
+            M = op.jacobi_precond() if isinstance(op, PaddedDIA) else None
+        elif isinstance(M, _DP):
+            # re-lay the diagonal into the kernel's padded layout; zero pads
+            # keep the pad coordinates inert
+            M = _DP(diag_inv=op.pad_vec(M.diag_inv))
+        b_run = op.pad_vec(b)
+        x0_run = op.pad_vec(jnp.asarray(x0)) if x0 is not None else None
+    else:
+        if isinstance(M, str) and M == "jacobi":
+            diag = op.diagonal() if hasattr(op, "diagonal") else A.diagonal()
+            M = _DP.new(diag)
+        b_run = b
+        x0_run = jnp.asarray(x0) if x0 is not None else None
+
+    kwargs = dict(tol=tol, max_iter=max_iter)
+    if M is not None and method != "cs_minres":
+        kwargs["M"] = M
+    x_run, info = jax.jit(partial(solver, **kwargs))(op, b_run, x0_run)
+    if padded:
+        return op.unpad_vec(x_run), info
+    return x_run, info
+
+
 class BiCGStab:
     """BiCGStab solver handle (reference ``src/bicg_stab.rs:25-31``)."""
 

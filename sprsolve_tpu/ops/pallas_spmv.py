@@ -64,6 +64,67 @@ def _dia_kernel(bands_ref, x_ref, y_ref, *, offsets, hr, lanes):
     y_ref[:, :] = acc
 
 
+def _dia_dot_kernel(bands_ref, x_ref, y_ref, dot_ref, *, offsets, hr, lanes):
+    """SpMV block + accumulated xᵀ·(A·x) partial — the fused ``dotmv``.
+
+    TPU grids run sequentially, so the (1,1) SMEM dot output accumulates
+    across blocks: initialized at block 0, added to thereafter.  Real dtypes
+    only (complex runs per plane and composes the dot at the wrapper).
+    """
+    br = y_ref.shape[0]
+    acc = jnp.zeros((br, lanes), dtype=y_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 1)
+    for d, off in enumerate(offsets):
+        q, r = divmod(off + hr * lanes, lanes)
+        if r == 0:
+            shifted = x_ref[q : q + br, :]
+        else:
+            same = pltpu.roll(x_ref[q : q + br, :], lanes - r, 1)
+            nxt = pltpu.roll(x_ref[q + 1 : q + br + 1, :], lanes - r, 1)
+            shifted = jnp.where(lane < lanes - r, same, nxt)
+        acc = acc + bands_ref[d] * shifted
+    y_ref[:, :] = acc
+    # this block's rows of x sit at window offset hr (x is in VMEM already —
+    # the dot costs no extra HBM traffic, exactly like mkl_sparse_?_dotmv)
+    partial = jnp.sum(x_ref[hr : hr + br, :] * acc)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dot_ref[0, 0] = jnp.zeros((), y_ref.dtype)
+
+    dot_ref[0, 0] += partial
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
+def _dia_dotmv_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
+    d, r_pad, _ = bands3.shape
+    grid = (r_pad // block_rows,)
+    return pl.pallas_call(
+        functools.partial(_dia_dot_kernel, offsets=offsets, hr=hr, lanes=lanes),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
+                lambda i: (i * block_rows, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
+            jax.ShapeDtypeStruct((1, 1), x2.dtype),
+        ),
+    )(bands3, x2)
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
 def _dia_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
     d, r_pad, _ = bands3.shape
@@ -179,10 +240,21 @@ class PaddedDIA:
         return self._matvec_real(x2)
 
     def matvec_dot(self, x2: jax.Array):
+        """Fused SpMV + conj(x)·(A·x) — the ``mkl_sparse_?_dotmv`` analog
+        (``src/mkl_mat.rs:242-319``): the dot reads x and y while they are
+        already in VMEM, costing no extra HBM traffic. Real dtypes run the
+        fused kernel; complex composes per re/im plane."""
         from ..vecalg import conj_dot
 
-        y = self.matvec(x2)
-        return y, conj_dot(x2, y)
+        if jnp.iscomplexobj(x2):
+            y = self.matvec(x2)
+            return y, conj_dot(x2, y)
+        y_body, dot = _dia_dotmv_pallas_call(
+            self.bands3, x2, self.offsets, self.hr, self.lanes, self.block_rows
+        )
+        halo = jnp.zeros((self.hr, self.lanes), dtype=x2.dtype)
+        y = jnp.concatenate([halo, y_body, halo], axis=0)
+        return y, dot[0, 0]
 
     def diagonal_padded(self) -> jax.Array:
         if 0 in self.offsets:

@@ -68,3 +68,28 @@ def test_solver_runs_in_padded_layout():
     x = p.unpad_vec(x2)
     r = np.asarray(A.matvec(x)) - np.asarray(b)
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-10
+
+
+def test_fused_matvec_dot_matches_unfused():
+    A = problems.poisson3d(10, 10, 10, dtype=np.float64)
+    p = ps.PaddedDIA.from_dia(A.to_dia())
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(1000))
+    x2 = p.pad_vec(x)
+    y_fused, d_fused = p.matvec_dot(x2)
+    y_ref = p.matvec(x2)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), rtol=1e-14)
+    want = np.vdot(np.asarray(x2), np.asarray(y_ref))
+    np.testing.assert_allclose(float(d_fused), want, rtol=1e-12)
+
+
+def test_minres_uses_fused_dotmv_in_pallas_layout():
+    import sprsolve_tpu as sp
+
+    A, rhs = problems.sym_grid_laplacian((16, 16))
+    p = ps.PaddedDIA.from_dia(A.to_dia())
+    b2 = p.pad_vec(jnp.asarray(rhs))
+    x2, info = sp.minres(p, b2, tol=1e-12, max_iter=600)
+    info.raise_if_error()
+    x = p.unpad_vec(x2)
+    r = np.asarray(A.matvec(x)) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-9

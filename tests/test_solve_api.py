@@ -1,0 +1,64 @@
+"""Top-level solve() convenience: layout auto-selection + padding handled."""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import sprsolve_tpu as sp
+import sprsolve_tpu.ops.pallas_spmv as ps
+from sprsolve_tpu.utils import problems
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(
+        ps.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+    ps._dia_pallas_call.clear_cache()
+    ps._dia_dotmv_pallas_call.clear_cache()
+    yield
+    ps._dia_pallas_call.clear_cache()
+    ps._dia_dotmv_pallas_call.clear_cache()
+
+
+def test_solve_auto_layout_stencil():
+    A = problems.grid_laplacian_dirichlet((16, 16))
+    b = np.zeros(256)
+    problems.set_boundary_condition(b, (16, 16), lambda r, c: float(r + c))
+    x, info = sp.solve(A, b, method="bicgstab", M="jacobi", tol=1e-13, max_iter=1500)
+    info.raise_if_error()
+    assert x.shape == (256,)
+    r = np.asarray(A.matvec(x)) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+
+def test_solve_minres_and_explicit_precond():
+    A, rhs, diag = problems.hermitian_grid_with_diag((8, 8))
+    x, info = sp.solve(
+        A, rhs, method="minres", M=sp.DiagPrecond.new(diag), tol=1e-22, max_iter=300
+    )
+    info.raise_if_error()
+    xk = np.array([complex(i, j) for i in range(8) for j in range(8)])
+    assert np.abs(np.asarray(x) - xk).max() < 1e-12
+
+
+def test_solve_cs_minres_auto():
+    A, rhs, _ = problems.complex_symmetric_grid_with_diag((8, 8))
+    x, info = sp.solve(A, rhs, method="cs_minres", tol=1e-22, max_iter=300)
+    info.raise_if_error()
+    xk = np.array([complex(i, j) for i in range(8) for j in range(8)])
+    assert np.abs(np.asarray(x) - xk).max() < 1e-12
+
+
+def test_solve_general_matrix_without_optimize():
+    import scipy.sparse as sps
+
+    S = sps.random(150, 150, density=0.05, random_state=0, format="csr") + sps.eye(150) * 8
+    A = sp.csr_from_scipy(S)
+    b = np.ones(150)
+    x, info = sp.solve(A, b, tol=1e-11, max_iter=500)
+    info.raise_if_error()
+    assert np.linalg.norm(S @ np.asarray(x) - b) < 1e-8
