@@ -30,7 +30,7 @@ from .solvers import (
     greedy_color,
     minres,
 )
-from .sparse import COO, CSC, CSR, DIA, ELL, csr_from_dense, csr_from_scipy
+from .sparse import BSR, COO, CSC, CSR, DIA, ELL, csr_from_dense, csr_from_scipy
 
 __version__ = "0.1.0"
 
@@ -50,6 +50,7 @@ __all__ = [
     "MaskedGSPrecond",
     "color_masks",
     "greedy_color",
+    "BSR",
     "COO",
     "CSC",
     "CSR",

@@ -65,10 +65,11 @@ def _dia_kernel(bands_ref, x_ref, y_ref, *, offsets, hr, lanes):
 
 
 def _dia_dot_kernel(bands_ref, x_ref, y_ref, dot_ref, *, offsets, hr, lanes):
-    """SpMV block + accumulated xᵀ·(A·x) partial — the fused ``dotmv``.
+    """SpMV block + per-block xᵀ·(A·x) partial — the fused ``dotmv``.
 
-    TPU grids run sequentially, so the (1,1) SMEM dot output accumulates
-    across blocks: initialized at block 0, added to thereafter.  Real dtypes
+    Each grid step writes its own partial-sum slot (no cross-block
+    accumulation — that read-modify-write pattern compiled pathologically);
+    the 312-element partial vector is summed by XLA outside.  Real dtypes
     only (complex runs per plane and composes the dot at the wrapper).
     """
     br = y_ref.shape[0]
@@ -86,20 +87,14 @@ def _dia_dot_kernel(bands_ref, x_ref, y_ref, dot_ref, *, offsets, hr, lanes):
     y_ref[:, :] = acc
     # this block's rows of x sit at window offset hr (x is in VMEM already —
     # the dot costs no extra HBM traffic, exactly like mkl_sparse_?_dotmv)
-    partial = jnp.sum(x_ref[hr : hr + br, :] * acc)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        dot_ref[0, 0] = jnp.zeros((), y_ref.dtype)
-
-    dot_ref[0, 0] += partial
+    dot_ref[0, 0] = jnp.sum(x_ref[hr : hr + br, :] * acc)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
 def _dia_dotmv_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
     d, r_pad, _ = bands3.shape
     grid = (r_pad // block_rows,)
-    return pl.pallas_call(
+    y, partials = pl.pallas_call(
         functools.partial(_dia_dot_kernel, offsets=offsets, hr=hr, lanes=lanes),
         grid=grid,
         in_specs=[
@@ -116,13 +111,14 @@ def _dia_dotmv_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
             pl.BlockSpec(
                 (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
-            jax.ShapeDtypeStruct((1, 1), x2.dtype),
+            jax.ShapeDtypeStruct((grid[0], 1), x2.dtype),
         ),
     )(bands3, x2)
+    return y, jnp.sum(partials).reshape(1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))

@@ -1,0 +1,138 @@
+"""BSR (block sparse row): the MXU-friendly layout for general sparsity.
+
+TPU gathers are slow (~8 ns/element — see tools/probe_gather.py), so the
+scalar-gather ELL path cannot approach bandwidth for unstructured matrices.
+BSR trades zero-padding for regularity the other way: nonzeros are grouped
+into dense (bs × bs) blocks, the SpMV becomes a batch of dense block·vector
+products (batched on the MXU) plus a row-block segment-sum, and the only
+gather left is a *row-granular* gather of x blocks — contiguous bs-element
+moves instead of scalar picks.
+
+Economics: per stored block, traffic is bs²·4 bytes for bs nnz-columns of
+useful work; worth it when the in-block fill ratio ≳ 5-10% (always true for
+FEM/blocked physics matrices, and for RCM-reordered banded ones).
+``fill_ratio`` reports it; ``optimize()`` can use it to route.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .containers import CSR
+
+
+@dataclasses.dataclass(frozen=True)
+class BSR:
+    """Dense-block sparse matrix: blocks[k] sits at block-row/col coordinates."""
+
+    blocks: jax.Array    # (nblk, bs, bs)
+    blk_row: jax.Array   # (nblk,) int32, sorted
+    blk_col: jax.Array   # (nblk,) int32
+    padded_dim: int      # nb·bs (multiple of bs)
+    n: int               # logical dimension
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        # logical shape: the operator consumes/produces length-n vectors
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    @property
+    def bs(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def nblk(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def fill_ratio(self) -> float:
+        """Stored-nonzero density within the dense blocks (host-side)."""
+        b = np.asarray(self.blocks)
+        return float((b != 0).sum() / b.size) if b.size else 0.0
+
+    @staticmethod
+    def from_csr(m: CSR, bs: int = 128) -> "BSR":
+        n = m.shape[0]
+        nb = -(-n // bs)
+        rows = np.asarray(m.row_ids, dtype=np.int64)
+        cols = np.asarray(m.indices, dtype=np.int64)
+        dat = np.asarray(m.data)
+        br, bc = rows // bs, cols // bs
+        key = br * nb + bc
+        uniq, inv = np.unique(key, return_inverse=True)
+        blocks = np.zeros((len(uniq), bs, bs), dtype=dat.dtype)
+        blocks[inv, rows % bs, cols % bs] = dat
+        # np.unique sorts keys → blk_row ascending (segment_sum likes sorted)
+        return BSR(
+            blocks=jnp.asarray(blocks),
+            blk_row=jnp.asarray((uniq // nb).astype(np.int32)),
+            blk_col=jnp.asarray((uniq % nb).astype(np.int32)),
+            padded_dim=nb * bs,
+            n=n,
+        )
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """y = A·x on a logical-length (n,) vector."""
+        bs = self.bs
+        nb = self.padded_dim // bs
+        xp = jnp.zeros(self.padded_dim, x.dtype).at[: self.n].set(x)
+        xb = xp.reshape(nb, bs)
+        gathered = jnp.take(xb, self.blk_col, axis=0)            # (nblk, bs)
+        prod = jnp.einsum(
+            "bij,bj->bi",
+            self.blocks,
+            gathered,
+            preferred_element_type=jnp.result_type(self.dtype, x.dtype),
+        )
+        yb = jax.ops.segment_sum(
+            prod, self.blk_row, num_segments=nb, indices_are_sorted=True
+        )
+        return yb.reshape(-1)[: self.n]
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+    def matmat(self, X: jax.Array) -> jax.Array:
+        bs = self.bs
+        nb = self.padded_dim // bs
+        k = X.shape[1]
+        Xp = jnp.zeros((self.padded_dim, k), X.dtype).at[: self.n].set(X)
+        Xb = Xp.reshape(nb, bs, k)
+        gathered = jnp.take(Xb, self.blk_col, axis=0)            # (nblk, bs, k)
+        prod = jnp.einsum(
+            "bij,bjk->bik",
+            self.blocks,
+            gathered,
+            preferred_element_type=jnp.result_type(self.dtype, X.dtype),
+        )
+        Yb = jax.ops.segment_sum(
+            prod, self.blk_row, num_segments=nb, indices_are_sorted=True
+        )
+        return Yb.reshape(-1, k)[: self.n]
+
+    def diagonal(self) -> jax.Array:
+        bs = self.bs
+        on_diag = np.asarray(self.blk_row) == np.asarray(self.blk_col)
+        blocks = np.asarray(self.blocks)[on_diag]
+        brows = np.asarray(self.blk_row)[on_diag]
+        diag = np.zeros(self.padded_dim, dtype=blocks.dtype)
+        for b, br in zip(blocks, brows):
+            diag[br * bs : (br + 1) * bs] = np.diag(b)
+        return jnp.asarray(diag[: self.n])
+
+
+jax.tree_util.register_dataclass(
+    BSR, data_fields=("blocks", "blk_row", "blk_col"), meta_fields=("padded_dim", "n")
+)
