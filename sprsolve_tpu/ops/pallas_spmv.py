@@ -86,8 +86,9 @@ def _dia_dot_kernel(bands_ref, x_ref, y_ref, dot_ref, *, offsets, hr, lanes):
         acc = acc + bands_ref[d] * shifted
     y_ref[:, :] = acc
     # this block's rows of x sit at window offset hr (x is in VMEM already —
-    # the dot costs no extra HBM traffic, exactly like mkl_sparse_?_dotmv)
-    dot_ref[0, 0] = jnp.sum(x_ref[hr : hr + br, :] * acc)
+    # the dot costs no extra HBM traffic, exactly like mkl_sparse_?_dotmv);
+    # dot_ref is the WHOLE (grid, 1) SMEM buffer, each step owns one slot
+    dot_ref[pl.program_id(0), 0] = jnp.sum(x_ref[hr : hr + br, :] * acc)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
@@ -111,7 +112,11 @@ def _dia_dotmv_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
             pl.BlockSpec(
                 (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            # whole partials buffer visible to every grid step (block == array
+            # dims satisfies the tiling constraint); steps write disjoint slots
+            pl.BlockSpec(
+                (grid[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
