@@ -11,7 +11,7 @@ operators under ``shard_map`` with psum inner products and halo exchange.
 Public surface mirrors the reference re-exports (``src/lib.rs:15-21``).
 """
 
-from . import errors, precond, vecalg
+from . import debug, errors, precond, vecalg
 from .api import BiCGStab, CSMinRes, GaussSeidel, MinRes, solve
 from .errors import SolveInfo, SolverError, Status
 from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
@@ -68,6 +68,7 @@ __all__ = [
     "SolveInfo",
     "SolverError",
     "Status",
+    "debug",
     "errors",
     "precond",
     "vecalg",

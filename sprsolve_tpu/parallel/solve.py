@@ -29,7 +29,10 @@ def make_solver_specs(A_parts, M_parts, axis_name: str):
     a_spec = A_parts.pspec(axis_name)
     specs = [a_spec, P(axis_name), P(axis_name)]
     if M_parts is not None:
-        specs.append(jax.tree.map(lambda _: P(axis_name), M_parts))
+        if hasattr(M_parts, "pspec"):
+            specs.append(M_parts.pspec(axis_name))
+        else:
+            specs.append(jax.tree.map(lambda _: P(axis_name), M_parts))
     out_specs = (P(axis_name), SolveInfo(P(), P(), P()))
     return tuple(specs), out_specs
 
@@ -85,17 +88,26 @@ def distributed_solve(
 
     M_parts = None
     if M is not None:
-        if not isinstance(M, DiagPrecond):
-            raise TypeError("distributed_solve supports DiagPrecond preconditioners")
-        di = M.diag_inv
-        if isinstance(A_parts, DistPaddedDIA):
-            # zero-padded reciprocal keeps pad coordinates inert (0·0 = 0)
-            di = A_parts.pad_vec(di)
-        elif di.shape[0] != n_pad:
-            di = jnp.concatenate(
-                [di, jnp.ones(n_pad - di.shape[0], dtype=di.dtype)]
+        if isinstance(M, DiagPrecond):
+            di = M.diag_inv
+            if isinstance(A_parts, DistPaddedDIA):
+                # zero-padded reciprocal keeps pad coordinates inert (0·0 = 0)
+                di = A_parts.pad_vec(di)
+            elif di.shape[0] != n_pad:
+                di = jnp.concatenate(
+                    [di, jnp.ones(n_pad - di.shape[0], dtype=di.dtype)]
+                )
+            M_parts = DiagPrecond(diag_inv=di)
+        elif hasattr(M, "pspec"):
+            # operator preconditioners (e.g. MaskedGSPrecond over a
+            # distributed operator) supply their own partition specs; the
+            # caller is responsible for building them in distributed layout
+            M_parts = M
+        else:
+            raise TypeError(
+                "distributed_solve supports DiagPrecond or pspec-capable "
+                "operator preconditioners"
             )
-        M_parts = DiagPrecond(diag_inv=di)
 
     in_specs, out_specs = make_solver_specs(A_parts, M_parts, axis_name)
 

@@ -220,6 +220,24 @@ class MaskedGSPrecond:
     def shape(self):
         return self.A.shape
 
+    def pspec(self, axis_name: str) -> "MaskedGSPrecond":
+        """Partition specs for shard_map (distributed GS preconditioning):
+        the inner operator supplies its own, diag/masks shard with rows."""
+        import jax as _jax
+        from jax.sharding import PartitionSpec as _P
+
+        inner = (
+            self.A.pspec(axis_name)
+            if hasattr(self.A, "pspec")
+            else _jax.tree.map(lambda _: _P(axis_name), self.A)
+        )
+        return MaskedGSPrecond(
+            A=inner,
+            diag=_P(axis_name),
+            masks=tuple(_P(axis_name) for _ in self.masks),
+            sweeps=self.sweeps,
+        )
+
     def matvec(self, r: jax.Array) -> jax.Array:
         # pad/halo coordinates: diag is structurally 0 there; divide-by-zero
         # is masked out but still poisons XLA's where unless guarded.

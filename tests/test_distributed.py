@@ -95,3 +95,32 @@ def test_halo_dia_rejects_wide_bands():
     A, _ = _dirichlet((4, 4))  # n=16, 8 devices → 2 rows each; offsets ±4
     with pytest.raises(ValueError):
         partition_dia(A.to_dia(), 8)
+
+
+def test_distributed_masked_gs_precond():
+    """Multicolor GS preconditioning under shard_map: the masked formulation
+    distributes for free (SpMV + elementwise), closing the reference's
+    'Gauss-Seidel is sequential' gap even across chips."""
+    A, rhs = _dirichlet((20, 20))
+    from sprsolve_tpu.parallel import partition_dia
+    from sprsolve_tpu.solvers.redblack import MaskedGSPrecond
+
+    colors = sp.greedy_color(A)
+    op = partition_dia(A.to_dia(), 8)
+    M = MaskedGSPrecond(
+        A=op,
+        diag=A.diagonal(),
+        masks=sp.color_masks(colors),
+        sweeps=1,
+    )
+    x, info = distributed_solve(
+        sp.bicgstab, op, jnp.asarray(rhs), M=M, tol=1e-14, max_iter=1500
+    )
+    info.raise_if_error()
+    r = np.asarray(A.matvec(x)) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-11
+    # preconditioning must actually help
+    _, info_j = distributed_solve(
+        sp.bicgstab, op, jnp.asarray(rhs), tol=1e-14, max_iter=1500
+    )
+    assert int(info.iterations) < int(info_j.iterations) // 2
