@@ -80,6 +80,11 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
 
 def main():
     import jax
+
+    # persistent compilation cache: remote-compile latency is minutes; cached
+    # executables make repeat runs (and driver rounds) fast
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     import sprsolve_tpu as sp
@@ -165,6 +170,48 @@ def main():
         )
     except Exception as e:
         log(f"pallas solve unavailable: {type(e).__name__}: {e}")
+
+    # --- fused-kernel BiCGStab (M-apply + SpMV + dots in single passes)
+    try:
+        from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
+        from sprsolve_tpu.solvers import bicgstab_fused
+
+        pdia4 = PaddedDIA.from_dia(dia)
+        b4 = jax.block_until_ready(pdia4.pad_vec(rhs))
+        M4 = pdia4.jacobi_precond()
+        f_fu = jax.jit(
+            lambda a, bb, di: bicgstab_fused(
+                a, bb, diag_inv2=di, tol=1e-4, max_iter=200
+            )
+        )
+        x4_s, info4 = f_fu(pdia4, b4, M4.diag_inv)
+        jax.block_until_ready(x4_s)
+        t_fu = timeit(f_fu, pdia4, b4, M4.diag_inv, warmup=1, iters=3)
+        it4 = int(info4.iterations)
+        log(
+            f"bicgstab 1M rows (fused kernels): {t_fu*1e3:.1f} ms, {it4} iters "
+            f"({it4/t_fu:.0f} iters/s), res {float(info4.residual):.2e}"
+        )
+    except Exception as e:
+        log(f"fused bicgstab unavailable: {type(e).__name__}: {e}")
+
+    # --- MINRES on the Pallas path (exercises the fused dotmv kernel)
+    try:
+        from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
+
+        pdia3 = PaddedDIA.from_dia(dia)
+        b3 = jax.block_until_ready(pdia3.pad_vec(rhs))
+        f_mr = jax.jit(lambda a, bb: sp.minres(a, bb, tol=1e-4, max_iter=400))
+        x3_s, info3 = f_mr(pdia3, b3)
+        jax.block_until_ready(x3_s)
+        t_mr = timeit(f_mr, pdia3, b3, warmup=1, iters=3)
+        it3 = int(info3.iterations)
+        log(
+            f"minres 1M rows (pallas fused dotmv): {t_mr*1e3:.1f} ms, "
+            f"{it3} iters ({it3/t_mr:.0f} iters/s), res {float(info3.residual):.2e}"
+        )
+    except Exception as e:
+        log(f"pallas minres unavailable: {type(e).__name__}: {e}")
 
     # --- optional large-scale single-chip check (~10M rows, BENCH_LARGE=1)
     import os

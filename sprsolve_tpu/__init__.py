@@ -24,6 +24,7 @@ from .solvers import (
     MulticolorGSPrecond,
     color_masks,
     bicgstab,
+    bicgstab_fused,
     cs_minres,
     gauss_seidel,
     gauss_seidel_redblack,
@@ -41,6 +42,7 @@ __all__ = [
     "CSMinRes",
     "GaussSeidel",
     "bicgstab",
+    "bicgstab_fused",
     "minres",
     "cs_minres",
     "gauss_seidel",

@@ -1,0 +1,114 @@
+"""Fused Krylov-step kernels for the Jacobi-preconditioned DIA path.
+
+A BiCGStab iteration on the unfused path spends more time in separate
+BLAS-1/reduction passes than in its two SpMVs (each dot is an extra full
+pass over HBM plus a pipeline flush).  These kernels fuse one preconditioner
+apply + one SpMV + the adjacent dot(s) into a single grid pass, reading each
+operand from HBM exactly once:
+
+- phase A: y = dinv⊙p,  v = A·y,  r0v = Σ r0·v
+- phase B: z = dinv⊙s,  t = A·z,  (tt, ts) = (Σ t·t, Σ t·s)
+
+Both are instances of one kernel parameterized by which dots to take.  The
+preconditioner multiply happens on the *window* (body + halo) in VMEM, so the
+band shifts read preconditioned values without a second exchange.
+
+Real dtypes only (the complex path composes per plane at a higher level);
+used by ``solvers.bicgstab_fused``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_mz_kernel(
+    bands_ref, xin_ref, dinv_ref, aux_ref, z_ref, t_ref, part_ref,
+    *, offsets, hr, lanes, dots,
+):
+    """z = dinv⊙xin; t = A·z; partial dots per grid step.
+
+    ``dots``: "aux"  → partials (Σ aux·t, 0)          [phase A: r0·v]
+              "self" → partials (Σ t·t, Σ t·xin_body) [phase B: tt, ts]
+    """
+    br = z_ref.shape[0]
+    z_win = xin_ref[:, :] * dinv_ref[:, :]  # M apply on body+halo window
+    acc = jnp.zeros((br, lanes), dtype=z_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 1)
+    for d, off in enumerate(offsets):
+        q, r = divmod(off + hr * lanes, lanes)
+        if r == 0:
+            shifted = z_win[q : q + br, :]
+        else:
+            same = pltpu.roll(z_win[q : q + br, :], lanes - r, 1)
+            nxt = pltpu.roll(z_win[q + 1 : q + br + 1, :], lanes - r, 1)
+            shifted = jnp.where(lane < lanes - r, same, nxt)
+        acc = acc + bands_ref[d] * shifted
+    z_ref[:, :] = z_win[hr : hr + br, :]
+    t_ref[:, :] = acc
+    i = pl.program_id(0)
+    if dots == "aux":
+        part_ref[i, 0] = jnp.sum(aux_ref[:, :] * acc)
+        part_ref[i, 1] = jnp.zeros((), acc.dtype)
+    else:
+        part_ref[i, 0] = jnp.sum(acc * acc)
+        part_ref[i, 1] = jnp.sum(acc * xin_ref[hr : hr + br, :])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows", "dots")
+)
+def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dots):
+    """Returns (z_body, t_body, dot0, dot1) for the fused M+SpMV+dot pass.
+
+    xin2/dinv2 are full padded-layout vectors (with halo rows); aux2 is the
+    body-blocked auxiliary vector (r0 for phase A; ignored for "self")."""
+    d, r_pad, _ = bands3.shape
+    grid = (r_pad // block_rows,)
+    # window over the canonical (hr + r_pad + hr, lanes) padded layout
+    win = pl.BlockSpec(
+        (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
+        lambda i: (i * block_rows, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # body rows of a canonical padded vector live at offset hr (not a
+    # block_rows multiple → Element indexing)
+    aux_body = pl.BlockSpec(
+        (pl.Element(block_rows), pl.Element(lanes)),
+        lambda i: (hr + i * block_rows, 0),
+        memory_space=pltpu.VMEM,
+    )
+    body = pl.BlockSpec(
+        (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    z, t, parts = pl.pallas_call(
+        functools.partial(
+            _fused_mz_kernel, offsets=offsets, hr=hr, lanes=lanes, dots=dots
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            win,       # xin window (canonical layout)
+            win,       # dinv window (canonical layout)
+            aux_body,  # aux body rows (canonical layout)
+        ],
+        out_specs=(
+            body,  # z body
+            body,  # t body
+            pl.BlockSpec((grid[0], 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), xin2.dtype),
+            jax.ShapeDtypeStruct((r_pad, lanes), xin2.dtype),
+            jax.ShapeDtypeStruct((grid[0], 2), xin2.dtype),
+        ),
+    )(bands3, xin2, dinv2, aux2)
+    sums = jnp.sum(parts, axis=0)
+    return z, t, sums[0], sums[1]

@@ -3,6 +3,7 @@
 ``lax.while_loop`` state pytree."""
 
 from .bicgstab import bicgstab
+from .bicgstab_fused import bicgstab_fused
 from .minres import minres
 from .cs_minres import cs_minres
 from .gauss_seidel import gauss_seidel
@@ -17,6 +18,7 @@ from .redblack import (
 
 __all__ = [
     "bicgstab",
+    "bicgstab_fused",
     "minres",
     "cs_minres",
     "gauss_seidel",

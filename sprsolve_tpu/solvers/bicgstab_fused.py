@@ -1,0 +1,191 @@
+"""BiCGStab specialized to the Jacobi-preconditioned Pallas DIA path.
+
+Same algorithm as :func:`sprsolve_tpu.solvers.bicgstab` (reference
+``src/bicg_stab.rs`` semantics: ρ-restart, ω-guard, breakdown exit, identical
+update order), but each iteration's two (preconditioner-apply → SpMV → dot)
+chains run as single fused Pallas passes (``ops.pallas_fused``), reading each
+operand from HBM once and folding three of the five reductions into the SpMV
+kernels.  fp summation differs slightly from the generic path (fused dot
+order), so this lives as a separate entry point; results agree to roundoff
+and convergence behavior is unchanged.
+
+Restrictions: real dtypes, :class:`PaddedDIA` operator, diagonal
+preconditioner given as ``diag_inv`` in padded layout (halo slots may hold
+anything finite — they multiply zeros).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..errors import Status
+from ..ops.pallas_fused import fused_mz_call
+from ..ops.pallas_spmv import PaddedDIA
+from ..vecalg import axpby, axpy, conj_dot, eps_for, norm2
+from .common import make_info
+
+
+class _State(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    r0: jax.Array
+    p: jax.Array
+    v: jax.Array
+    rho: jax.Array
+    alpha: jax.Array
+    w: jax.Array
+    r0_norm_tol: jax.Array
+    its: jax.Array
+    status: jax.Array
+    res: jax.Array
+
+
+def bicgstab_fused(
+    A: PaddedDIA,
+    b2: jax.Array,
+    x02: Optional[jax.Array] = None,
+    *,
+    diag_inv2: jax.Array,
+    tol,
+    max_iter,
+):
+    """Solve A·x = b (padded 2-D layout throughout). Returns ``(x2, SolveInfo)``."""
+    if x02 is None:
+        x02 = jnp.zeros_like(b2)
+    T = b2.dtype
+    if jnp.iscomplexobj(b2):
+        raise NotImplementedError("bicgstab_fused is real-dtype only")
+    rdt = jnp.finfo(T).dtype
+    tol = jnp.asarray(tol, dtype=rdt)
+    max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
+    eps = eps_for(T)
+    one = jnp.ones((), T)
+    halo = jnp.zeros((A.hr, A.lanes), dtype=T)
+
+    def with_halo(body):
+        return jnp.concatenate([halo, body, halo], axis=0)
+
+    def fused(xin2, aux2, dots):
+        z_body, t_body, d0, d1 = fused_mz_call(
+            A.bands3, xin2, diag_inv2, aux2,
+            A.offsets, A.hr, A.lanes, A.block_rows, dots,
+        )
+        return with_halo(z_body), with_halo(t_body), d0, d1
+
+    def main(rhs_norm):
+        tol2 = tol * rhs_norm
+        r = axpy(-one, b2, A.matvec(x02))
+        r0_norm = norm2(r)
+
+        def early(_):
+            return x02, make_info(0, r0_norm / rhs_norm, Status.CONVERGED)
+
+        def iterate(_):
+            r0 = r
+            r0_norm_tol = (r0_norm * eps) ** 2
+            rho = r0_norm * r0_norm
+            p = r
+            # fused: y = dinv⊙p, v = A·y, r0v = r0·v
+            y, v, r0v, _ = fused(p, r0, "aux")
+            alpha = rho / r0v
+            s = axpy(-alpha, v, r)
+            # fused: z = dinv⊙s, t = A·z, tt = t·t, ts = t·s
+            z, t, tt, ts = fused(s, r0, "self")
+            w = jnp.where(tt > 0, ts / tt, jnp.zeros((), T))
+            x = axpy(-alpha, y, x02)
+            x = axpy(-w, z, x)
+            r_new = axpy(-w, t, s)
+
+            st = _State(
+                x=x, r=r_new, r0=r0, p=p, v=v,
+                rho=rho, alpha=alpha, w=w, r0_norm_tol=r0_norm_tol,
+                its=jnp.int32(1), status=jnp.int32(Status.RUNNING),
+                res=jnp.zeros((), rdt),
+            )
+
+            def cond_fn(s_):
+                return (s_.status == Status.RUNNING) & (s_.its < max_iter)
+
+            def body_fn(s_):
+                r_norm = norm2(s_.r)
+
+                def converged(s_):
+                    return s_._replace(
+                        status=jnp.int32(Status.CONVERGED), res=r_norm / rhs_norm
+                    )
+
+                def step(s_):
+                    rho_old = s_.rho
+                    rho = conj_dot(s_.r0, s_.r)
+
+                    def restart(op):
+                        rho_, r_, r0_, tol_ = op
+                        r_r = axpy(-one, b2, A.matvec(s_.x))
+                        rn = norm2(r_r)
+                        return rn * rn, r_r, r_r, rn * rn * eps * eps
+
+                    rho, r_, r0_, r0_norm_tol = lax.cond(
+                        jnp.abs(rho) < s_.r0_norm_tol,
+                        restart,
+                        lambda op: op,
+                        (rho, s_.r, s_.r0, s_.r0_norm_tol),
+                    )
+
+                    beta = (rho / rho_old) * (s_.alpha / s_.w)
+                    p = axpby(-beta * s_.w, s_.v, beta, s_.p)
+                    p = axpy(one, r_, p)
+
+                    y, v, r0v, _ = fused(p, r0_, "aux")
+
+                    def breakdown(s_):
+                        return s_._replace(
+                            r=r_, r0=r0_, p=p, v=v, rho=rho,
+                            r0_norm_tol=r0_norm_tol,
+                            status=jnp.int32(Status.BREAKDOWN),
+                            res=r_norm / rhs_norm,
+                        )
+
+                    def advance(s_):
+                        alpha = rho / r0v
+                        sres = axpy(-alpha, v, r_)
+                        z, t, tt, ts = fused(sres, r0_, "self")
+                        w = jnp.where(tt > 0, ts / tt, jnp.zeros((), T))
+                        x = axpy(-alpha, y, s_.x)
+                        x = axpy(-w, z, x)
+                        r_new = axpy(-w, t, sres)
+                        return _State(
+                            x=x, r=r_new, r0=r0_, p=p, v=v,
+                            rho=rho, alpha=alpha, w=w,
+                            r0_norm_tol=r0_norm_tol,
+                            its=s_.its + 1, status=s_.status, res=s_.res,
+                        )
+
+                    return lax.cond(jnp.abs(r0v) <= 0, breakdown, advance, s_)
+
+                return lax.cond(r_norm <= tol2, converged, step, s_)
+
+            final = lax.while_loop(cond_fn, body_fn, st)
+            status = jnp.where(
+                final.status == Status.RUNNING,
+                jnp.int32(Status.INSUFFICIENT_ITER),
+                final.status,
+            )
+            res = jnp.where(
+                final.status == Status.RUNNING,
+                norm2(final.r) / rhs_norm,
+                final.res,
+            )
+            return final.x, make_info(final.its, res, status)
+
+        return lax.cond(r0_norm <= tol2, early, iterate, None)
+
+    rhs_norm = norm2(b2)
+
+    def trivial(_):
+        return jnp.zeros_like(b2), make_info(0, rhs_norm, Status.CONVERGED)
+
+    return lax.cond(rhs_norm <= eps_for(T), trivial, lambda _: main(rhs_norm), None)
