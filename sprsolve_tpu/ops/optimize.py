@@ -15,12 +15,10 @@ Complex matrices use the re/im-plane kernel wrapper.
 
 from __future__ import annotations
 
-from typing import Union
-
 import jax.numpy as jnp
 import numpy as np
 
-from ..native import csr_bandwidth, csr_count_diagonals
+from ..native import csr_count_diagonals
 from ..sparse.containers import CSR, DIA, ELL
 from .pallas_spmv import ComplexPaddedDIA, PaddedDIA
 

@@ -9,12 +9,10 @@ SpMV does its halo exchange), and unpad.  SolveInfo comes back replicated.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..errors import SolveInfo

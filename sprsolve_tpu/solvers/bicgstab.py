@@ -20,7 +20,6 @@ subtract. Residual reported is relative: ‖r‖/‖b‖ (``:124-126``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

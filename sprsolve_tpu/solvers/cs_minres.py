@@ -25,7 +25,7 @@ from jax import lax
 
 from ..errors import Status
 from ..vecalg import abs2, axpy, conj, conj_dot, norm2, rscale
-from .common import check_shapes, make_info, with_zero_rhs_guard
+from .common import check_shapes, make_info
 
 
 class _State(NamedTuple):
