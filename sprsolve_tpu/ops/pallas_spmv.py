@@ -188,9 +188,9 @@ class PaddedDIA:
     ) -> "PaddedDIA":
         n = m.shape[0]
         h = max((abs(o) for o in m.offsets), default=0)
-        # round halo rows to a multiple of 4 so the x window's sublane count
-        # (block_rows + 2·hr) stays divisible by 8 (Mosaic tiling constraint)
-        hr = -(-(-(-h // lanes)) // 4) * 4 if h else 0
+        # round halo rows to a multiple of 8: window heights (BR + 2·hr) and
+        # Element row starts (hr + i·BR) must both stay 8-aligned for Mosaic
+        hr = -(-(-(-h // lanes)) // 8) * 8 if h else 0
         r = -(-n // lanes)
         r_pad = -(-r // block_rows) * block_rows
         bands = np.asarray(m.bands)

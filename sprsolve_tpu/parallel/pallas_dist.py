@@ -77,7 +77,7 @@ class DistPaddedDIA:
     ) -> "DistPaddedDIA":
         n = m.shape[0]
         h = max((abs(o) for o in m.offsets), default=0)
-        hr = -(-(-(-h // lanes)) // 4) * 4 if h else 0
+        hr = -(-(-(-h // lanes)) // 8) * 8 if h else 0
         # rows per device: multiple of block_rows, covering n, halo must fit
         r_local = -(-(-(-n // lanes)) // (n_devices * block_rows)) * block_rows
         if hr > r_local:
