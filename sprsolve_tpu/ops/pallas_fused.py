@@ -53,7 +53,7 @@ def _fused_mz_kernel(
     t_ref[:, :] = acc
     i = pl.program_id(0)
     if dots == "aux":
-        part_ref[i, 0] = jnp.sum(aux_ref[:, :] * acc)
+        part_ref[i, 0] = jnp.sum(aux_ref[hr : hr + br, :] * acc)
         part_ref[i, 1] = jnp.zeros((), acc.dtype)
     else:
         part_ref[i, 0] = jnp.sum(acc * acc)
@@ -76,13 +76,6 @@ def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dot
         lambda i: (i * block_rows, 0),
         memory_space=pltpu.VMEM,
     )
-    # body rows of a canonical padded vector live at offset hr (not a
-    # block_rows multiple → Element indexing)
-    aux_body = pl.BlockSpec(
-        (pl.Element(block_rows), pl.Element(lanes)),
-        lambda i: (hr + i * block_rows, 0),
-        memory_space=pltpu.VMEM,
-    )
     body = pl.BlockSpec(
         (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -95,9 +88,11 @@ def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dot
             pl.BlockSpec(
                 (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
-            win,       # xin window (canonical layout)
-            win,       # dinv window (canonical layout)
-            aux_body,  # aux body rows (canonical layout)
+            win,  # xin window (canonical layout)
+            win,  # dinv window (canonical layout)
+            # aux uses the same full window (offset Element windows crash the
+            # Mosaic backend — tools bisect 2026-08); body rows sliced inside
+            win,
         ],
         out_specs=(
             body,  # z body
