@@ -42,7 +42,11 @@ def optimize(
     n_diags = csr_count_diagonals(n, indptr, indices)
     if n_diags <= max_diags:
         dia = DIA.from_csr(m, max_diags=max_diags)
-        if prefer_pallas:
+        # Mosaic's lane rotate has no f64 lowering (tpu.dynamic_rotate), so
+        # the Pallas kernel serves f32/c64; x64 fidelity runs use the XLA
+        # DIA path (or CPU interpret mode).
+        kernel_ok = m.data.dtype in (jnp.float32, jnp.complex64)
+        if prefer_pallas and kernel_ok:
             if jnp.iscomplexobj(m.data):
                 return ComplexPaddedDIA.from_dia(dia)
             return PaddedDIA.from_dia(dia)
