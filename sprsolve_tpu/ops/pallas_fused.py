@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_spmv import _band_accumulate
+
 
 def _fused_mz_kernel(
     bands_ref, xin_ref, dinv_ref, aux_ref, z_ref, t_ref, part_ref,
@@ -38,17 +40,10 @@ def _fused_mz_kernel(
     """
     br = z_ref.shape[0]
     z_win = xin_ref[:, :] * dinv_ref[:, :]  # M apply on body+halo window
-    acc = jnp.zeros((br, lanes), dtype=z_ref.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 1)
-    for d, off in enumerate(offsets):
-        q, r = divmod(off + hr * lanes, lanes)
-        if r == 0:
-            shifted = z_win[q : q + br, :]
-        else:
-            same = pltpu.roll(z_win[q : q + br, :], lanes - r, 1)
-            nxt = pltpu.roll(z_win[q + 1 : q + br + 1, :], lanes - r, 1)
-            shifted = jnp.where(lane < lanes - r, same, nxt)
-        acc = acc + bands_ref[d] * shifted
+    acc = _band_accumulate(
+        bands_ref, z_win, offsets=offsets, hr=hr, lanes=lanes,
+        br=br, dtype=z_ref.dtype,
+    )
     z_ref[:, :] = z_win[hr : hr + br, :]
     t_ref[:, :] = acc
     i = pl.program_id(0)

@@ -41,53 +41,53 @@ LANES = 512
 BLOCK_ROWS = 128  # autotuned on v5e (tools/tune_kernel.py): 178 Gnnz/s
 
 
-def _dia_kernel(bands_ref, x_ref, y_ref, *, offsets, hr, lanes):
-    """One row-block: y = Σ_d bands[d] ⊙ shift(x, off_d), all from VMEM.
+def _band_accumulate(bands_ref, window, *, offsets, hr, lanes, br, dtype):
+    """Σ_d bands[d] ⊙ shift(window, off_d) for one row block, all from VMEM.
 
-    bands_ref: (D, BR, lanes); x_ref: (BR + 2·hr, lanes) overlapping window;
-    y_ref: (BR, lanes).
-    """
-    br = y_ref.shape[0]
-    acc = jnp.zeros((br, lanes), dtype=y_ref.dtype)
+    ``window`` is the (br + 2·hr, lanes) x window as an array value; a flat
+    shift off = q·lanes + r is two lane rotations of adjacent row slices
+    merged by a lane mask — no gathers.  Shared by the plain, dotmv and
+    fused kernels."""
+    acc = jnp.zeros((br, lanes), dtype=dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 1)
     for d, off in enumerate(offsets):
         q, r = divmod(off + hr * lanes, lanes)
         if r == 0:
-            shifted = x_ref[q : q + br, :]
+            shifted = window[q : q + br, :]
         else:
-            # shifted[j, l] = x[q + j + (l + r >= lanes), (l + r) % lanes]:
-            # lane-rotate the aligned window and its successor row, pick by lane.
-            same = pltpu.roll(x_ref[q : q + br, :], lanes - r, 1)
-            nxt = pltpu.roll(x_ref[q + 1 : q + br + 1, :], lanes - r, 1)
+            # shifted[j, l] = window[q + j + (l + r >= lanes), (l + r) % lanes]
+            same = pltpu.roll(window[q : q + br, :], lanes - r, 1)
+            nxt = pltpu.roll(window[q + 1 : q + br + 1, :], lanes - r, 1)
             shifted = jnp.where(lane < lanes - r, same, nxt)
         acc = acc + bands_ref[d] * shifted
-    y_ref[:, :] = acc
+    return acc
+
+
+def _dia_kernel(bands_ref, x_ref, y_ref, *, offsets, hr, lanes):
+    """One row-block SpMV: y = A-bands applied to the x window."""
+    br = y_ref.shape[0]
+    y_ref[:, :] = _band_accumulate(
+        bands_ref, x_ref[:, :], offsets=offsets, hr=hr, lanes=lanes,
+        br=br, dtype=y_ref.dtype,
+    )
 
 
 def _dia_dot_kernel(bands_ref, x_ref, y_ref, dot_ref, *, offsets, hr, lanes):
     """SpMV block + per-block xᵀ·(A·x) partial — the fused ``dotmv``.
 
-    Each grid step writes its own partial-sum slot (no cross-block
-    accumulation — that read-modify-write pattern compiled pathologically);
-    the 312-element partial vector is summed by XLA outside.  Real dtypes
+    Each grid step writes its own partial-sum slot in the whole-buffer SMEM
+    output (cross-block read-modify-write accumulation compiles
+    pathologically); the partials are summed by XLA outside.  Real dtypes
     only (complex runs per plane and composes the dot at the wrapper).
     """
     br = y_ref.shape[0]
-    acc = jnp.zeros((br, lanes), dtype=y_ref.dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (br, lanes), 1)
-    for d, off in enumerate(offsets):
-        q, r = divmod(off + hr * lanes, lanes)
-        if r == 0:
-            shifted = x_ref[q : q + br, :]
-        else:
-            same = pltpu.roll(x_ref[q : q + br, :], lanes - r, 1)
-            nxt = pltpu.roll(x_ref[q + 1 : q + br + 1, :], lanes - r, 1)
-            shifted = jnp.where(lane < lanes - r, same, nxt)
-        acc = acc + bands_ref[d] * shifted
+    acc = _band_accumulate(
+        bands_ref, x_ref[:, :], offsets=offsets, hr=hr, lanes=lanes,
+        br=br, dtype=y_ref.dtype,
+    )
     y_ref[:, :] = acc
     # this block's rows of x sit at window offset hr (x is in VMEM already —
-    # the dot costs no extra HBM traffic, exactly like mkl_sparse_?_dotmv);
-    # dot_ref is the WHOLE (grid, 1) SMEM buffer, each step owns one slot
+    # the dot costs no extra HBM traffic, exactly like mkl_sparse_?_dotmv)
     dot_ref[pl.program_id(0), 0] = jnp.sum(x_ref[hr : hr + br, :] * acc)
 
 
