@@ -34,10 +34,13 @@ import jax.numpy as jnp
 
 
 def _coo_to_csr(rows, cols, vals, n, dtype) -> CSR:
+    # keep the build entirely host-side: placing the triplets on the device
+    # just to read them back for sorting wastes transfers (and some backends
+    # can't transfer every dtype back)
     coo = COO(
-        data=jnp.asarray(np.asarray(vals, dtype=dtype)),
-        row=jnp.asarray(np.asarray(rows, dtype=np.int32)),
-        col=jnp.asarray(np.asarray(cols, dtype=np.int32)),
+        data=np.asarray(vals, dtype=dtype),
+        row=np.asarray(rows, dtype=np.int32),
+        col=np.asarray(cols, dtype=np.int32),
         shape=(n, n),
     )
     return CSR.from_coo(coo)
