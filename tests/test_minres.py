@@ -61,3 +61,24 @@ def test_minres_residual_history():
     assert np.all(np.isnan(h[k + 1 :]))
     # the recurrence estimate is monotone non-increasing for MINRES
     assert np.all(np.diff(h[: k + 1]) <= 1e-16)
+
+
+def test_minres_truly_indefinite():
+    # BASELINE config #2: symmetric *indefinite* system. The folded Laplacian
+    # has spectrum in (-8, 0); shifting by +3 puts eigenvalues on both sides
+    # of zero (verified below), which MINRES handles and CG could not.
+    import scipy.sparse.linalg as spla
+    import scipy.sparse as sps
+
+    A, _ = problems.sym_grid_laplacian((12, 12))
+    n = 144
+    dense = np.asarray(A.todense()) + 3.0 * np.eye(n)
+    eig = np.linalg.eigvalsh(dense)
+    assert eig[0] < 0 < eig[-1]  # genuinely indefinite
+
+    As = sp.csr_from_dense(dense)
+    b = np.random.default_rng(7).standard_normal(n)
+    x_direct = np.linalg.solve(dense, b)
+    x, info = sp.minres(As, b, tol=1e-13, max_iter=2000)
+    info.raise_if_error()
+    np.testing.assert_allclose(np.asarray(x), x_direct, rtol=1e-7, atol=1e-9)
