@@ -30,6 +30,7 @@ from .solvers import (
     gauss_seidel_redblack,
     greedy_color,
     minres,
+    with_real_planes,
 )
 from .sparse import BSR, COO, CSC, CSR, DIA, ELL, csr_from_dense, csr_from_scipy
 
@@ -45,6 +46,7 @@ __all__ = [
     "bicgstab_fused",
     "minres",
     "cs_minres",
+    "with_real_planes",
     "gauss_seidel",
     "gauss_seidel_redblack",
     "ColoredELL",

@@ -91,6 +91,51 @@ def _dia_dot_kernel(bands_ref, x_ref, y_ref, dot_ref, *, offsets, hr, lanes):
     dot_ref[pl.program_id(0), 0] = jnp.sum(x_ref[hr : hr + br, :] * acc)
 
 
+def _dia_complex_kernel(
+    bre_ref, bim_ref, xr_ref, xi_ref, yr_ref, yi_ref, *, offsets, hr, lanes
+):
+    """Complex SpMV in one pass: both band sets and both x planes staged in
+    VMEM once; y_re = A_re·x_re − A_im·x_im, y_im = A_re·x_im + A_im·x_re.
+    Half the HBM traffic of four separate real kernel calls."""
+    br = yr_ref.shape[0]
+    kw = dict(offsets=offsets, hr=hr, lanes=lanes, br=br, dtype=yr_ref.dtype)
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+    rr = _band_accumulate(bre_ref, xr, **kw)
+    ii = _band_accumulate(bim_ref, xi, **kw)
+    ri = _band_accumulate(bre_ref, xi, **kw)
+    ir = _band_accumulate(bim_ref, xr, **kw)
+    yr_ref[:, :] = rr - ii
+    yi_ref[:, :] = ri + ir
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
+def _dia_complex_pallas_call(bre3, bim3, xr2, xi2, offsets, hr, lanes, block_rows):
+    d, r_pad, _ = bre3.shape
+    grid = (r_pad // block_rows,)
+    bspec = pl.BlockSpec(
+        (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    win = pl.BlockSpec(
+        (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
+        lambda i: (i * block_rows, 0),
+        memory_space=pltpu.VMEM,
+    )
+    body = pl.BlockSpec(
+        (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_dia_complex_kernel, offsets=offsets, hr=hr, lanes=lanes),
+        grid=grid,
+        in_specs=[bspec, bspec, win, win],
+        out_specs=(body, body),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), xr2.dtype),
+            jax.ShapeDtypeStruct((r_pad, lanes), xr2.dtype),
+        ),
+    )(bre3, bim3, xr2, xi2)
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
 def _dia_dotmv_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
     d, r_pad, _ = bands3.shape
@@ -338,9 +383,16 @@ class ComplexPaddedDIA:
         )
 
     def matvec(self, x2: jax.Array) -> jax.Array:
-        xr, xi = jnp.real(x2), jnp.imag(x2)
-        yr = self.re._matvec_real(xr) - self.im._matvec_real(xi)
-        yi = self.re._matvec_real(xi) + self.im._matvec_real(xr)
+        # single fused two-plane kernel: both band sets + both x planes are
+        # staged in VMEM once (half the traffic of four real kernel calls)
+        p = self.re
+        yr_body, yi_body = _dia_complex_pallas_call(
+            p.bands3, self.im.bands3, jnp.real(x2), jnp.imag(x2),
+            p.offsets, p.hr, p.lanes, p.block_rows,
+        )
+        halo = jnp.zeros((p.hr, p.lanes), dtype=yr_body.dtype)
+        yr = jnp.concatenate([halo, yr_body, halo], axis=0)
+        yi = jnp.concatenate([halo, yi_body, halo], axis=0)
         return (yr + 1j * yi).astype(x2.dtype)
 
     def matvec_dot(self, x2: jax.Array):

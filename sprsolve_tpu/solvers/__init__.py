@@ -5,6 +5,7 @@
 from .bicgstab import bicgstab
 from .bicgstab_fused import bicgstab_fused
 from .minres import minres
+from .planes import with_real_planes
 from .cs_minres import cs_minres
 from .gauss_seidel import gauss_seidel
 from .redblack import (
@@ -20,6 +21,7 @@ __all__ = [
     "bicgstab",
     "bicgstab_fused",
     "minres",
+    "with_real_planes",
     "cs_minres",
     "gauss_seidel",
     "gauss_seidel_redblack",

@@ -73,3 +73,23 @@ def test_complex_solve_via_pallas_layout():
     x = op.unpad_vec(x2)
     xk = np.array([complex(i, j) for i in range(8) for j in range(8)])
     assert np.abs(np.asarray(x) - xk).max() < 1e-2
+
+
+def test_real_planes_adapter():
+    """Complex solve with only real arrays crossing the jit boundary —
+    backends without complex device buffers can still run complex systems."""
+    import jax
+
+    A, rhs, _ = problems.complex_symmetric_grid_with_diag((8, 8), dtype=np.complex64)
+    op = sp.ComplexPaddedDIA.from_dia(A.to_dia())
+    b2 = np.asarray(op.pad_vec(jnp.asarray(rhs)))
+    solve = jax.jit(
+        lambda a, br, bi: sp.with_real_planes(sp.cs_minres)(
+            a, br, bi, tol=1e-5, max_iter=300
+        )
+    )
+    xr, xi, info = solve(op, jnp.asarray(b2.real), jnp.asarray(b2.imag))
+    info.raise_if_error()
+    x = np.asarray(op.unpad_vec(np.asarray(xr) + 1j * np.asarray(xi)))
+    xk = np.array([complex(i, j) for i in range(8) for j in range(8)])
+    assert np.abs(x - xk).max() < 1e-2
