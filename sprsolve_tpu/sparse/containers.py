@@ -7,6 +7,12 @@ chosen for the TPU memory system rather than for pointer-chasing CPUs:
 - CSR: interchange format; carries a precomputed COO-style ``row_ids`` array so
   its SpMV is static-shaped (XLA needs static shapes; ``indptr`` walking is a
   CPU idiom).
+
+Build/interchange formats (COO/CSR/CSC) keep **host** (NumPy) arrays — they
+are assembled, analyzed and converted on the host; device placement happens
+when an *execution* format (ELL/DIA/BSR/PaddedDIA) is built or when jnp ops
+consume them. This avoids device round-trips during assembly and lets
+complex matrices be built even on backends without complex device buffers.
 - ELL: every row padded to ``k`` entries → dense (n, k) tiles, regular access
   for the VPU; pad entries have value 0 and column 0 (they contribute nothing).
 - DIA: offset-diagonal storage for banded/stencil matrices; SpMV uses shifted
@@ -96,17 +102,15 @@ class CSR:
 
     @staticmethod
     def from_arrays(data, indices, indptr, shape) -> "CSR":
-        data = jnp.asarray(data)
-        indices = jnp.asarray(indices, dtype=jnp.int32)
         indptr_np = np.asarray(indptr, dtype=np.int64)
         row_ids = np.repeat(
             np.arange(shape[0], dtype=np.int32), np.diff(indptr_np)
         )
         return CSR(
-            data=data,
-            indices=indices,
-            indptr=jnp.asarray(indptr_np, dtype=jnp.int32),
-            row_ids=jnp.asarray(row_ids),
+            data=np.asarray(data),
+            indices=np.asarray(indices, dtype=np.int32),
+            indptr=indptr_np.astype(np.int32),
+            row_ids=row_ids,
             shape=tuple(shape),
         )
 
@@ -333,15 +337,13 @@ class CSC:
 
     @staticmethod
     def from_arrays(data, indices, indptr, shape) -> "CSC":
-        data = jnp.asarray(data)
-        indices = jnp.asarray(indices, dtype=jnp.int32)
         indptr_np = np.asarray(indptr, dtype=np.int64)
         col_ids = np.repeat(np.arange(shape[1], dtype=np.int32), np.diff(indptr_np))
         return CSC(
-            data=data,
-            indices=indices,
-            indptr=jnp.asarray(indptr_np, dtype=jnp.int32),
-            col_ids=jnp.asarray(col_ids),
+            data=np.asarray(data),
+            indices=np.asarray(indices, dtype=np.int32),
+            indptr=indptr_np.astype(np.int32),
+            col_ids=col_ids,
             shape=tuple(shape),
         )
 
