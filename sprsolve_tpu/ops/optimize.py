@@ -41,6 +41,9 @@ def optimize(
     indices = np.asarray(m.indices, np.int32)
     n_diags = csr_count_diagonals(n, indptr, indices)
     if n_diags <= max_diags:
+        kernel_complex = prefer_pallas and m.data.dtype == jnp.complex64
+        if kernel_complex:
+            return ComplexPaddedDIA.from_csr(m)
         dia = DIA.from_csr(m, max_diags=max_diags)
         # Mosaic's lane rotate has no f64 lowering (tpu.dynamic_rotate), so
         # the Pallas kernel serves f32/c64; x64 fidelity runs use the XLA
@@ -48,7 +51,8 @@ def optimize(
         kernel_ok = m.data.dtype in (jnp.float32, jnp.complex64)
         if prefer_pallas and kernel_ok:
             if jnp.iscomplexobj(m.data):
-                return ComplexPaddedDIA.from_dia(dia)
+                # host path: complex data never placed on the device
+                return ComplexPaddedDIA.from_csr(m)
             return PaddedDIA.from_dia(dia)
         return dia
     return ELL.from_csr(m)

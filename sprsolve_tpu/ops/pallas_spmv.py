@@ -368,7 +368,22 @@ class ComplexPaddedDIA:
     def from_dia(m: DIA, lanes: int = LANES, block_rows: int = BLOCK_ROWS):
         bands = np.asarray(m.bands)
         mk = lambda b: PaddedDIA.from_dia(
-            DIA(bands=jnp.asarray(b), offsets=m.offsets, shape=m.shape),
+            DIA(bands=b, offsets=m.offsets, shape=m.shape),
+            lanes=lanes,
+            block_rows=block_rows,
+        )
+        return ComplexPaddedDIA(re=mk(bands.real), im=mk(bands.imag))
+
+    @staticmethod
+    def from_csr(m, lanes: int = LANES, block_rows: int = BLOCK_ROWS):
+        """Build directly from a host CSR: complex data never touches the
+        device (only the real band planes do) — required on backends without
+        complex device-buffer support."""
+        from ..sparse.containers import DIA as _DIA
+
+        bands, offsets = _DIA.arrays_from_csr(m)
+        mk = lambda b: PaddedDIA.from_dia(
+            _DIA(bands=b, offsets=offsets, shape=m.shape),
             lanes=lanes,
             block_rows=block_rows,
         )

@@ -268,7 +268,8 @@ class DIA:
         return self.bands.dtype
 
     @staticmethod
-    def from_csr(m: CSR, max_diags: int = 64) -> "DIA":
+    def arrays_from_csr(m: CSR, max_diags: int = 64):
+        """Host-side band extraction: (bands ndarray, offsets tuple)."""
         row = np.asarray(m.row_ids, dtype=np.int64)
         col = np.asarray(m.indices, dtype=np.int64)
         dat = np.asarray(m.data)
@@ -283,11 +284,12 @@ class DIA:
         off_index = {int(o): i for i, o in enumerate(offs)}
         drow = np.array([off_index[int(o)] for o in (col - row)])
         np.add.at(bands, (drow, row), dat)
-        return DIA(
-            bands=jnp.asarray(bands),
-            offsets=tuple(int(o) for o in offs),
-            shape=m.shape,
-        )
+        return bands, tuple(int(o) for o in offs)
+
+    @staticmethod
+    def from_csr(m: CSR, max_diags: int = 64) -> "DIA":
+        bands, offsets = DIA.arrays_from_csr(m, max_diags=max_diags)
+        return DIA(bands=jnp.asarray(bands), offsets=offsets, shape=m.shape)
 
     def matvec(self, x: jax.Array) -> jax.Array:
         from ..ops.spmv import spmv_dia
