@@ -171,6 +171,52 @@ def main():
     except Exception as e:
         log(f"pallas solve unavailable: {type(e).__name__}: {e}")
 
+    # --- complex SpMV via the fused two-plane kernel (c64 path)
+    try:
+        from sprsolve_tpu.ops.pallas_spmv import (
+            ComplexPaddedDIA,
+            _dia_complex_pallas_call,
+        )
+        from sprsolve_tpu.sparse.containers import DIA as _DIA
+
+        cbands = (np.asarray(dia.bands) * (1.0 + 0.5j)).astype(np.complex64)
+        cop = ComplexPaddedDIA.from_dia(
+            _DIA(bands=cbands, offsets=dia.offsets, shape=dia.shape)
+        )
+        p_re = cop.re
+        halo = jnp.zeros((p_re.hr, p_re.lanes), jnp.float32)
+        xr2 = jax.block_until_ready(p_re.pad_vec(x))
+        xi2 = jax.block_until_ready(p_re.pad_vec(x * jnp.float32(0.5)))
+
+        @jax.jit
+        def cchain(op_, pair, n_iters):
+            def bodyf(_, pr):
+                yr, yi = _dia_complex_pallas_call(
+                    op_.re.bands3, op_.im.bands3, pr[0], pr[1],
+                    op_.re.offsets, op_.re.hr, op_.re.lanes, op_.re.block_rows,
+                )
+                s_ = jnp.float32(0.125)
+                return (
+                    jnp.concatenate([halo, yr * s_, halo]),
+                    jnp.concatenate([halo, yi * s_, halo]),
+                )
+
+            return jax.lax.fori_loop(0, n_iters, bodyf, pair, unroll=1)
+
+        jax.block_until_ready(cchain(cop, (xr2, xi2), jnp.int32(200)))
+        jax.block_until_ready(cchain(cop, (xr2, xi2), jnp.int32(40)))
+        t0 = time.perf_counter()
+        jax.block_until_ready(cchain(cop, (xr2, xi2), jnp.int32(200)))
+        t_long = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(cchain(cop, (xr2, xi2), jnp.int32(40)))
+        t_short = time.perf_counter() - t0
+        t_c = max((t_long - t_short) / 160, 1e-9)
+        gb = (2 * dia.bands.shape[0] * n + 4 * n) * 4 / t_c / 1e9
+        log(f"spmv c64 two-plane: {t_c*1e3:.3f} ms -> {nnz/t_c/1e9:.2f} Gcnnz/s ({gb:.0f} GB/s)")
+    except Exception as e:
+        log(f"complex spmv unavailable: {type(e).__name__}: {e}")
+
     # --- fused-kernel BiCGStab (M-apply + SpMV + dots in single passes)
     try:
         from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
