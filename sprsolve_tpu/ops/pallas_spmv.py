@@ -37,8 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..sparse.containers import DIA
 
-LANES = 512
-BLOCK_ROWS = 128  # autotuned on v5e (tools/tune_kernel.py): 178 Gnnz/s
+# autotuned on v5e (tools/tune_kernel2.py): 171 Gnnz/s on the 1M-row 7-point
+# Poisson; (512, 512) and (1024, 256) crash the Mosaic backend — avoid.
+LANES = 256
+BLOCK_ROWS = 256
 
 
 def _band_accumulate(bands_ref, window, *, offsets, hr, lanes, br, dtype):
