@@ -17,7 +17,7 @@ from .errors import SolveInfo, SolverError, Status
 from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
 from .ops.optimize import optimize
 from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
-from .precond import DiagPrecond
+from .precond import ChebyshevPrecond, DiagPrecond
 from .solvers import (
     ColoredELL,
     MaskedGSPrecond,
@@ -66,6 +66,7 @@ __all__ = [
     "IdentityOperator",
     "DiagonalOperator",
     "DiagPrecond",
+    "ChebyshevPrecond",
     "optimize",
     "PaddedDIA",
     "ComplexPaddedDIA",

@@ -45,3 +45,75 @@ class DiagPrecond:
 
 
 jax.tree_util.register_dataclass(DiagPrecond, data_fields=("diag_inv",), meta_fields=())
+
+
+@dataclasses.dataclass(frozen=True)
+class ChebyshevPrecond:
+    """Chebyshev polynomial preconditioner: M⁻¹ ≈ p_k(A) ≈ A⁻¹ on [λmin, λmax].
+
+    The most TPU-natural preconditioner beyond Jacobi: the apply is k SpMVs
+    and axpys with *no* sequential row dependencies or triangular solves —
+    it runs at full kernel speed through any operator (including the Pallas
+    paths) and distributes for free.  Requires SPD-ish A with a known (or
+    estimated) spectrum interval; classical three-term recurrence.
+
+    Beyond the reference's feature set (it only ships DiagPrecond) — included
+    because polynomial preconditioning is the idiomatic accelerator answer to
+    the triangular-solve preconditioners TPUs can't run efficiently.
+    """
+
+    A: object          # LinearOperator
+    lmin: float        # spectrum lower bound (meta: static)
+    lmax: float        # spectrum upper bound
+    degree: int = 4
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @staticmethod
+    def estimate_lmax(A, x_example, iters: int = 20) -> float:
+        """Power-iteration estimate of the largest |eigenvalue| (host-side)."""
+        import numpy as np
+
+        x = x_example
+        if float(jnp.linalg.norm(x.ravel())) == 0.0:
+            x = jnp.ones_like(x_example)
+        lam = 1.0
+        for _ in range(iters):
+            y = A.matvec(x)
+            lam = float(jnp.linalg.norm(y.ravel()))
+            x = y / lam
+        return lam
+
+    def matvec(self, r: jax.Array) -> jax.Array:
+        # Chebyshev iteration for A z = r from z0 = 0 (Saad, Iterative
+        # Methods, alg. 12.1): theta = (λmax+λmin)/2, delta = (λmax−λmin)/2.
+        theta = (self.lmax + self.lmin) / 2.0
+        delta = (self.lmax - self.lmin) / 2.0
+        dt = jnp.asarray(theta, r.dtype)
+        sigma1 = theta / delta
+        rho = 1.0 / sigma1
+        z = r / dt
+        d = z
+        res = r - self.A.matvec(z)
+        for _ in range(self.degree - 1):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            d = res * jnp.asarray(2.0 * rho_new / delta, r.dtype) + d * jnp.asarray(
+                rho_new * rho, r.dtype
+            )
+            z = z + d
+            res = r - self.A.matvec(z)
+            rho = rho_new
+        return z
+
+    def matvec_dot(self, r: jax.Array):
+        from .vecalg import conj_dot
+
+        z = self.matvec(r)
+        return z, conj_dot(r, z)
+
+
+jax.tree_util.register_dataclass(
+    ChebyshevPrecond, data_fields=("A",), meta_fields=("lmin", "lmax", "degree")
+)
