@@ -104,6 +104,16 @@ def solve(
     kwargs = dict(tol=tol, max_iter=max_iter)
     if M is not None and method != "cs_minres":
         kwargs["M"] = M
+    if padded and jnp.iscomplexobj(b_run):
+        # complex vectors cross the jit boundary as real planes — some
+        # backends (the axon TPU tunnel) reject complex device buffers
+        from .solvers import with_real_planes
+
+        run = jax.jit(
+            lambda a, br, bi: with_real_planes(partial(solver, **kwargs))(a, br, bi)
+        )
+        xr, xi, info = run(op, jnp.real(b_run), jnp.imag(b_run))
+        return op.unpad_vec(xr + 1j * xi), info
     x_run, info = jax.jit(partial(solver, **kwargs))(op, b_run, x0_run)
     if padded:
         return op.unpad_vec(x_run), info
