@@ -32,7 +32,7 @@ from .solvers import (
     minres,
     with_real_planes,
 )
-from .sparse import BSR, COO, CSC, CSR, DIA, ELL, csr_from_dense, csr_from_scipy
+from .sparse import BSR, COO, CSC, CSR, DIA, ELL, csr_from_dense, csr_from_scipy, reorder_rcm
 
 __version__ = "0.1.0"
 
@@ -62,6 +62,7 @@ __all__ = [
     "DIA",
     "csr_from_dense",
     "csr_from_scipy",
+    "reorder_rcm",
     "LinearOperator",
     "IdentityOperator",
     "DiagonalOperator",

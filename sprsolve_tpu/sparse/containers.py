@@ -381,6 +381,32 @@ _register(
 )
 
 
+def reorder_rcm(m: CSR):
+    """Symmetric RCM reordering: returns (permuted CSR, perm) with
+    A'[i, j] = A[perm[i], perm[j]].  Reduces bandwidth so banded execution
+    layouts (DIA/BSR-along-the-band) apply to general matrices; solve with
+    A' and b[perm], then undo with x[inv_perm] (see ``native.rcm_order``).
+    """
+    from ..native import rcm_order, symmetrize_pattern
+
+    n = m.shape[0]
+    indptr = np.asarray(m.indptr, np.int64)
+    indices = np.asarray(m.indices, np.int32)
+    sym_indptr, sym_indices = symmetrize_pattern(n, indptr, indices)
+    perm = rcm_order(n, sym_indptr, sym_indices)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    rows = inv[np.asarray(m.row_ids, np.int64)]
+    cols = inv[np.asarray(m.indices, np.int64)]
+    coo = COO(
+        data=np.asarray(m.data),
+        row=rows.astype(np.int32),
+        col=cols.astype(np.int32),
+        shape=m.shape,
+    )
+    return CSR.from_coo(coo), perm
+
+
 def csr_from_scipy(m) -> CSR:
     """Build from a scipy.sparse matrix (any format)."""
     m = m.tocsr()

@@ -42,3 +42,28 @@ def test_bicgstab_on_bsr():
     info.raise_if_error()
     r = np.asarray(A.matvec(x)) - rhs
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-11
+
+
+def test_reorder_rcm_preserves_solve():
+    import scipy.sparse as sps
+
+    S = sps.random(200, 200, density=0.03, random_state=3, format="csr")
+    S = S + S.T + sps.eye(200) * 10
+    A = sp.csr_from_scipy(S.tocsr())
+    Ap, perm = sp.reorder_rcm(A)
+    from sprsolve_tpu import native
+
+    bw_before = native.csr_bandwidth(
+        200, np.asarray(A.indptr, np.int64), np.asarray(A.indices, np.int32)
+    )
+    bw_after = native.csr_bandwidth(
+        200, np.asarray(Ap.indptr, np.int64), np.asarray(Ap.indices, np.int32)
+    )
+    assert bw_after <= bw_before
+    # solve the permuted system, un-permute, check against the original
+    b = np.random.default_rng(4).standard_normal(200)
+    x_p, info = sp.bicgstab(Ap, jnp.asarray(b[perm]), tol=1e-12, max_iter=2000)
+    info.raise_if_error()
+    x = np.empty(200)
+    x[perm] = np.asarray(x_p)
+    assert np.linalg.norm(S @ x - b) / np.linalg.norm(b) < 1e-9
