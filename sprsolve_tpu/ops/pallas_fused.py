@@ -102,3 +102,38 @@ def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dot
     )(bands3, xin2, dinv2, aux2)
     sums = jnp.sum(parts, axis=0)
     return z, t, sums[0], sums[1]
+
+
+def _orth_norm_kernel(a_ref, vold_ref, v_ref, beta_ref, alpha_ref, out_ref, part_ref):
+    """v₊ = a − β·v_old − α·v fused with Σ|v₊|² partials (MINRES Lanczos
+    orthogonalization + norm in one pass; scalars arrive via SMEM)."""
+    beta = beta_ref[0, 0]
+    alpha = alpha_ref[0, 0]
+    vn = a_ref[:, :] - vold_ref[:, :] * beta - v_ref[:, :] * alpha
+    out_ref[:, :] = vn
+    part_ref[pl.program_id(0), 0] = jnp.sum(vn * vn)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def fused_orth_norm_call(a2, vold2, v2, beta, alpha, block_rows):
+    """Returns (v_new_body, sumsq) for body-layout (r_pad, lanes) inputs."""
+    r_pad, lanes = a2.shape
+    grid = (r_pad // block_rows,)
+    body = pl.BlockSpec(
+        (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    scal = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    vn, parts = pl.pallas_call(
+        _orth_norm_kernel,
+        grid=grid,
+        in_specs=[body, body, body, scal, scal],
+        out_specs=(
+            body,
+            pl.BlockSpec((grid[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), a2.dtype),
+            jax.ShapeDtypeStruct((grid[0], 1), a2.dtype),
+        ),
+    )(a2, vold2, v2, beta.reshape(1, 1), alpha.reshape(1, 1))
+    return vn, jnp.sum(parts)

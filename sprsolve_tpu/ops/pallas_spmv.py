@@ -312,6 +312,25 @@ class PaddedDIA:
         halo = jnp.zeros((self.hr, self.lanes), dtype=self.dtype)
         return jnp.concatenate([halo, body, halo], axis=0)
 
+    def orth_norm(self, a2, vold2, v2, beta, alpha):
+        """Fused Lanczos orthogonalization + squared norm (real dtypes):
+        v₊ = a − β·v_old − α·v and Σ|v₊|² in one pass over the body rows
+        (halo rows are zero on all inputs and stay zero). Returns
+        (v₊ padded, local sum of squares)."""
+        from .pallas_fused import fused_orth_norm_call
+
+        body = slice(self.hr, self.hr + self.r_pad)
+        vn_body, sumsq = fused_orth_norm_call(
+            a2[body],
+            vold2[body],
+            v2[body],
+            jnp.asarray(beta, a2.dtype),
+            jnp.asarray(alpha, a2.dtype),
+            self.block_rows,
+        )
+        halo = jnp.zeros((self.hr, self.lanes), dtype=a2.dtype)
+        return jnp.concatenate([halo, vn_body, halo], axis=0), sumsq
+
     def jacobi_precond(self):
         """Diagonal preconditioner in padded layout.
 

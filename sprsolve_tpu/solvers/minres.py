@@ -141,8 +141,20 @@ def minres(
             v_new, alpha = A.matvec_dot(w)
             if axis_name is not None:
                 alpha = lax.psum(alpha, axis_name)
-            v_new = axpy((-beta).astype(T), v_old, v_new)
-            v_new = axpy(-alpha, v, v_new)
+
+            fused_orth = (
+                not has_precond
+                and not jnp.iscomplexobj(b)
+                and hasattr(A, "orth_norm")
+            )
+            if fused_orth:
+                # orthogonalization + ‖v₊‖² in one kernel pass
+                v_new, sumsq = A.orth_norm(v_new, v_old, v, beta, alpha)
+                if axis_name is not None:
+                    sumsq = lax.psum(sumsq, axis_name)
+            else:
+                v_new = axpy((-beta).astype(T), v_old, v_new)
+                v_new = axpy(-alpha, v, v_new)
 
             if has_precond:
                 w_new = M.matvec(v_new)
@@ -153,6 +165,9 @@ def minres(
                     jnp.imag(beta_new2) > eps * jnp.real(beta_new2)
                 )
                 beta_new = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
+            elif fused_orth:
+                beta_new = jnp.sqrt(sumsq)
+                w_new = s_.w_new
             else:
                 beta_new = norm2(v_new, axis_name)
                 w_new = s_.w_new
