@@ -104,29 +104,46 @@ def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dot
     return z, t, sums[0], sums[1]
 
 
-def _orth_norm_kernel(a_ref, vold_ref, v_ref, beta_ref, alpha_ref, out_ref, part_ref):
+def _orth_norm_kernel(
+    a_ref, vold_ref, v_ref, beta_ref, alpha_ref, out_ref, part_ref, *, hr
+):
     """v₊ = a − β·v_old − α·v fused with Σ|v₊|² partials (MINRES Lanczos
-    orthogonalization + norm in one pass; scalars arrive via SMEM)."""
+    orthogonalization + norm in one pass).  Inputs arrive as canonical
+    padded-layout windows (same-shape windows — offset windows crash the
+    Mosaic backend); body rows are sliced in-kernel, avoiding host-side
+    slice copies.  Scalars arrive via SMEM."""
+    br = out_ref.shape[0]
     beta = beta_ref[0, 0]
     alpha = alpha_ref[0, 0]
-    vn = a_ref[:, :] - vold_ref[:, :] * beta - v_ref[:, :] * alpha
+    vn = (
+        a_ref[hr : hr + br, :]
+        - vold_ref[hr : hr + br, :] * beta
+        - v_ref[hr : hr + br, :] * alpha
+    )
     out_ref[:, :] = vn
     part_ref[pl.program_id(0), 0] = jnp.sum(vn * vn)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def fused_orth_norm_call(a2, vold2, v2, beta, alpha, block_rows):
-    """Returns (v_new_body, sumsq) for body-layout (r_pad, lanes) inputs."""
-    r_pad, lanes = a2.shape
+@functools.partial(jax.jit, static_argnames=("hr", "block_rows",))
+def fused_orth_norm_call(a2, vold2, v2, beta, alpha, hr, block_rows):
+    """Returns (v_new_body, sumsq). a2/vold2/v2 are canonical padded-layout
+    vectors ((hr + r_pad + hr, lanes)); output body is (r_pad, lanes)."""
+    rows, lanes = a2.shape
+    r_pad = rows - 2 * hr
     grid = (r_pad // block_rows,)
+    win = pl.BlockSpec(
+        (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
+        lambda i: (i * block_rows, 0),
+        memory_space=pltpu.VMEM,
+    )
     body = pl.BlockSpec(
         (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     scal = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     vn, parts = pl.pallas_call(
-        _orth_norm_kernel,
+        functools.partial(_orth_norm_kernel, hr=hr),
         grid=grid,
-        in_specs=[body, body, body, scal, scal],
+        in_specs=[win, win, win, scal, scal],
         out_specs=(
             body,
             pl.BlockSpec((grid[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -319,13 +319,13 @@ class PaddedDIA:
         (v₊ padded, local sum of squares)."""
         from .pallas_fused import fused_orth_norm_call
 
-        body = slice(self.hr, self.hr + self.r_pad)
         vn_body, sumsq = fused_orth_norm_call(
-            a2[body],
-            vold2[body],
-            v2[body],
+            a2,
+            vold2,
+            v2,
             jnp.asarray(beta, a2.dtype),
             jnp.asarray(alpha, a2.dtype),
+            self.hr,
             self.block_rows,
         )
         halo = jnp.zeros((self.hr, self.lanes), dtype=a2.dtype)
