@@ -13,13 +13,15 @@ VMEM and computes all D_n shifted products from it, reaching the algorithmic
 minimum of (D_n + 2)·4 bytes/point — for a 7-point stencil a ~1.6× traffic
 reduction, which is the whole game for a bandwidth-bound op.
 
-Layout: vectors are viewed as (rows, LANES) with LANES = 512 (4 × the 128
-native lane width).  A flat shift `off` decomposes as q·LANES + r; the
-shifted read is two lane-rotations (`pltpu.roll`) of adjacent row windows
-merged by a lane mask — no gathers anywhere.
+Layout: vectors are viewed as (rows, LANES), LANES a multiple of the 128
+native lane width (autotuned default in this module).  A flat shift `off`
+decomposes as q·LANES + r; the shifted read is two lane-rotations
+(`pltpu.roll`) of adjacent row windows merged by a lane mask — no gathers
+anywhere.
 
-The kernel is f32/f64; complex systems use it per re/im plane (see
-``PaddedDIA.matvec``), since a c64 SpMV is (re·re − im·im, re·im + im·re) over
+The kernel dtypes are f32/c64 (Mosaic has no f64 lane rotate; x64 fidelity
+uses the XLA DIA path).  Complex runs as re/im planes — see the fused
+two-plane kernel — since a c64 SpMV is (re·re − im·im, re·im + im·re) over
 the same band structure.
 """
 
