@@ -66,7 +66,7 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
     jax.block_until_ready(chain(op, x, jnp.int32(iters)))
     jax.block_until_ready(chain(op, x, jnp.int32(short)))
     diffs = []
-    for _ in range(max(warmup, 3)):
+    for _ in range(max(warmup, 5)):
         t0 = time.perf_counter()
         jax.block_until_ready(chain(op, x, jnp.int32(iters)))
         t_long = time.perf_counter() - t0
