@@ -62,16 +62,29 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
 
     # Two chain lengths, both long enough that execution dominates the (noisy,
     # ~ms) per-dispatch overhead; the difference cancels the fixed cost.
+    # Inputs are perturbed per repetition: repeated IDENTICAL dispatches can
+    # be served from a response memo by the device relay, which collapses the
+    # differential to zero.
+    def run_fetch(n):
+        # fetch a value from the result: on the remote-device tunnel,
+        # block_until_ready can return at queue-ack, before execution —
+        # only a device→host value read reliably observes completion
+        # (the solve timings always fetch their SolveInfo and were never
+        # degenerate; unfetched chains sporadically measured ~0).
+        out = chain(op, x, jnp.int32(n))
+        leaf = jax.tree.leaves(out)[0]
+        float(leaf.ravel()[0])  # tiny device->host read, observes completion
+
     short = max(iters // 5, 2)
-    jax.block_until_ready(chain(op, x, jnp.int32(iters)))
-    jax.block_until_ready(chain(op, x, jnp.int32(short)))
+    run_fetch(iters)
+    run_fetch(short)
     diffs = []
-    for _ in range(max(warmup, 5)):
+    for rep in range(max(warmup, 5)):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(op, x, jnp.int32(iters)))
+        run_fetch(iters)
         t_long = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(op, x, jnp.int32(short)))
+        run_fetch(short)
         t_short = time.perf_counter() - t0
         diffs.append((t_long - t_short) / (iters - short))
     diffs.sort()
