@@ -31,13 +31,9 @@ from .pallas_spmv import _band_accumulate
 
 def _fused_mz_kernel(
     bands_ref, xin_ref, dinv_ref, aux_ref, z_ref, t_ref, part_ref,
-    *, offsets, hr, lanes, dots,
+    *, offsets, hr, lanes,
 ):
-    """z = dinv⊙xin; t = A·z; partial dots per grid step.
-
-    ``dots``: "aux"  → partials (Σ aux·t, 0)          [phase A: r0·v]
-              "self" → partials (Σ t·t, Σ t·xin_body) [phase B: tt, ts]
-    """
+    """Phase A: z = dinv⊙xin; t = A·z; partial Σ aux·t per grid step."""
     br = z_ref.shape[0]
     z_win = xin_ref[:, :] * dinv_ref[:, :]  # M apply on body+halo window
     acc = _band_accumulate(
@@ -47,25 +43,31 @@ def _fused_mz_kernel(
     z_ref[:, :] = z_win[hr : hr + br, :]
     t_ref[:, :] = acc
     i = pl.program_id(0)
-    if dots == "aux":
-        part_ref[i, 0] = jnp.sum(aux_ref[hr : hr + br, :] * acc)
-        part_ref[i, 1] = jnp.zeros((), acc.dtype)
-    else:
-        part_ref[i, 0] = jnp.sum(acc * acc)
-        part_ref[i, 1] = jnp.sum(acc * xin_ref[hr : hr + br, :])
+    part_ref[i, 0] = jnp.sum(aux_ref[hr : hr + br, :] * acc)
+    part_ref[i, 1] = jnp.zeros((), acc.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows", "dots")
-)
-def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dots):
-    """Returns (z_body, t_body, dot0, dot1) for the fused M+SpMV+dot pass.
+def _fused_mz_self_kernel(
+    bands_ref, xin_ref, dinv_ref, z_ref, t_ref, part_ref,
+    *, offsets, hr, lanes,
+):
+    """Phase B: z = dinv⊙xin; t = A·z; partials (Σ t·t, Σ t·xin_body) — no
+    auxiliary vector read (the "aux" variant wasted a full window read)."""
+    br = z_ref.shape[0]
+    z_win = xin_ref[:, :] * dinv_ref[:, :]
+    acc = _band_accumulate(
+        bands_ref, z_win, offsets=offsets, hr=hr, lanes=lanes,
+        br=br, dtype=z_ref.dtype,
+    )
+    z_ref[:, :] = z_win[hr : hr + br, :]
+    t_ref[:, :] = acc
+    i = pl.program_id(0)
+    part_ref[i, 0] = jnp.sum(acc * acc)
+    part_ref[i, 1] = jnp.sum(acc * xin_ref[hr : hr + br, :])
 
-    xin2/dinv2 are full padded-layout vectors (with halo rows); aux2 is the
-    body-blocked auxiliary vector (r0 for phase A; ignored for "self")."""
-    d, r_pad, _ = bands3.shape
+
+def _mz_specs(d, r_pad, hr, lanes, block_rows, n_windows):
     grid = (r_pad // block_rows,)
-    # window over the canonical (hr + r_pad + hr, lanes) padded layout
     win = pl.BlockSpec(
         (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
         lambda i: (i * block_rows, 0),
@@ -74,32 +76,59 @@ def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dot
     body = pl.BlockSpec(
         (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    z, t, parts = pl.pallas_call(
-        functools.partial(
-            _fused_mz_kernel, offsets=offsets, hr=hr, lanes=lanes, dots=dots
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec(
+            (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+    ] + [win] * n_windows
+    out_specs = (
+        body,  # z body
+        body,  # t body
+        pl.BlockSpec((grid[0], 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    )
+    return grid, in_specs, out_specs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows", "dots")
+)
+def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dots):
+    """Returns (z_body, t_body, dot0, dot1) for the fused M+SpMV+dot pass.
+
+    All vectors are full padded-layout ((hr + r_pad + hr, lanes)); offset
+    Element windows crash the Mosaic backend, so every window shares one
+    shape and body rows are sliced in-kernel.  ``dots="aux"`` reads aux
+    (phase A, r0·v); ``dots="self"`` skips the aux read entirely (phase B,
+    tt/ts)."""
+    d, r_pad, _ = bands3.shape
+    out_shape = (
+        jax.ShapeDtypeStruct((r_pad, lanes), xin2.dtype),
+        jax.ShapeDtypeStruct((r_pad, lanes), xin2.dtype),
+        jax.ShapeDtypeStruct(((r_pad // block_rows), 2), xin2.dtype),
+    )
+    if dots == "aux":
+        grid, in_specs, out_specs = _mz_specs(d, r_pad, hr, lanes, block_rows, 3)
+        z, t, parts = pl.pallas_call(
+            functools.partial(
+                _fused_mz_kernel, offsets=offsets, hr=hr, lanes=lanes
             ),
-            win,  # xin window (canonical layout)
-            win,  # dinv window (canonical layout)
-            # aux uses the same full window (offset Element windows crash the
-            # Mosaic backend — tools bisect 2026-08); body rows sliced inside
-            win,
-        ],
-        out_specs=(
-            body,  # z body
-            body,  # t body
-            pl.BlockSpec((grid[0], 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((r_pad, lanes), xin2.dtype),
-            jax.ShapeDtypeStruct((r_pad, lanes), xin2.dtype),
-            jax.ShapeDtypeStruct((grid[0], 2), xin2.dtype),
-        ),
-    )(bands3, xin2, dinv2, aux2)
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(bands3, xin2, dinv2, aux2)
+    else:
+        grid, in_specs, out_specs = _mz_specs(d, r_pad, hr, lanes, block_rows, 2)
+        z, t, parts = pl.pallas_call(
+            functools.partial(
+                _fused_mz_self_kernel, offsets=offsets, hr=hr, lanes=lanes
+            ),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+        )(bands3, xin2, dinv2)
+        del aux2
     sums = jnp.sum(parts, axis=0)
     return z, t, sums[0], sums[1]
 
