@@ -27,15 +27,25 @@ def log(*a):
 
 
 def timeit(fn, *args, warmup=3, iters=20):
+    """Per-call timing with a VALUE FETCH per call: through the device
+    tunnel, bare block_until_ready can return at queue-ack before execution
+    finishes, silently under-measuring. Reading a scalar from the result is
+    the only reliable completion barrier here."""
     import jax
 
+    def fetch(out):
+        leaf = jax.tree.leaves(out)[0]
+        float(leaf.ravel()[0])
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
+        fetch(fn(*args))
+    times = []
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        fetch(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]  # median
 
 
 def time_spmv(spmv, op, x, iters=50, warmup=2):
