@@ -48,6 +48,28 @@ def timeit(fn, *args, warmup=3, iters=20):
     return times[len(times) // 2]  # median
 
 
+def time_solve_periter(build_f, lo=60, hi=140):
+    """Per-iteration solve cost via slope timing: tol=0 forces exactly
+    max_iter iterations; (T_hi − T_lo)/(hi − lo) cancels both the dispatch
+    cost and the ~30 ms fetch round-trip of this tunnel."""
+    import jax
+
+    f_lo, f_hi = build_f(lo), build_f(hi)
+
+    def run(f):
+        out = f()
+        float(jax.tree.leaves(out)[0].ravel()[0])
+
+    run(f_lo); run(f_hi)
+    diffs = []
+    for _ in range(3):
+        t0 = time.perf_counter(); run(f_hi); t_hi = time.perf_counter() - t0
+        t0 = time.perf_counter(); run(f_lo); t_lo = time.perf_counter() - t0
+        diffs.append((t_hi - t_lo) / (hi - lo))
+    diffs.sort()
+    return max(diffs[1], 1e-9)
+
+
 def time_spmv(spmv, op, x, iters=50, warmup=2):
     """Time a chained x ← 0.125·(A·x) loop inside ONE dispatch.
 
@@ -157,42 +179,59 @@ def main():
     except Exception as e:  # pragma: no cover - kernel may regress on hw
         log(f"pallas path unavailable: {type(e).__name__}: {e}")
 
-    # --- end-to-end BiCGStab (reference headline workload, f32 tolerance)
+    # --- end-to-end solves: converged run for counts/residual + slope
+    # timing for the honest per-iteration rate (the fetch round-trip through
+    # this tunnel is ~30 ms, so totals are reported as n·t_iter).
     rhs = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    M = sp.DiagPrecond.new(np.asarray(dia.diagonal()))
-    f_solve = jax.jit(
-        lambda a, b, m: sp.bicgstab(a, b, M=m, tol=1e-4, max_iter=200)
-    )
-    x_s, info = f_solve(dia, rhs, M)
-    jax.block_until_ready(x_s)
-    t_solve = timeit(f_solve, dia, rhs, M, warmup=1, iters=3)
-    iters = int(info.iterations)
-    log(
-        f"bicgstab 1M rows (XLA DIA): {t_solve*1e3:.1f} ms, {iters} iters "
-        f"({iters/t_solve:.0f} iters/s), res {float(info.residual):.2e}, "
-        f"status {int(info.status)}"
-    )
+    from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
+    from sprsolve_tpu.solvers import bicgstab_fused
 
-    # --- same solve on the Pallas production path (padded kernel layout)
-    try:
-        from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
+    pdia_s = PaddedDIA.from_dia(dia)
+    b2s = jax.block_until_ready(pdia_s.pad_vec(rhs))
+    M_xla = sp.DiagPrecond.new(np.asarray(dia.diagonal()))
+    M_pal = pdia_s.jacobi_precond()
 
-        pdia2 = PaddedDIA.from_dia(dia)
-        b2 = jax.block_until_ready(pdia2.pad_vec(rhs))
-        M2 = pdia2.jacobi_precond()
-        f_solve2 = jax.jit(
-            lambda a, b, m: sp.bicgstab(a, b, M=m, tol=1e-4, max_iter=200)
-        )
-        x2_s, info2 = f_solve2(pdia2, b2, M2)
-        jax.block_until_ready(x2_s)
-        t_solve2 = timeit(f_solve2, pdia2, b2, M2, warmup=1, iters=3)
-        it2 = int(info2.iterations)
-        log(
-            f"bicgstab 1M rows (pallas): {t_solve2*1e3:.1f} ms, {it2} iters "
-            f"({it2/t_solve2:.0f} iters/s), res {float(info2.residual):.2e}"
-        )
-    except Exception as e:
-        log(f"pallas solve unavailable: {type(e).__name__}: {e}")
+    solve_cfgs = [
+        (
+            "bicgstab (XLA DIA)",
+            lambda mi, tol: jax.jit(
+                lambda: sp.bicgstab(dia, rhs, M=M_xla, tol=tol, max_iter=mi)
+            ),
+        ),
+        (
+            "bicgstab (pallas)",
+            lambda mi, tol: jax.jit(
+                lambda: sp.bicgstab(pdia_s, b2s, M=M_pal, tol=tol, max_iter=mi)
+            ),
+        ),
+        (
+            "bicgstab (fused kernels)",
+            lambda mi, tol: jax.jit(
+                lambda: bicgstab_fused(
+                    pdia_s, b2s, diag_inv2=M_pal.diag_inv, tol=tol, max_iter=mi
+                )
+            ),
+        ),
+        (
+            "minres (pallas fused dotmv)",
+            lambda mi, tol: jax.jit(
+                lambda: sp.minres(pdia_s, b2s, tol=tol, max_iter=mi)
+            ),
+        ),
+    ]
+    for name, build in solve_cfgs:
+        try:
+            x_c, info_c = build(400, 1e-4)()
+            it_c = int(info_c.iterations)
+            res_c = float(info_c.residual)
+            t_iter = time_solve_periter(lambda mi: build(mi, 0.0))
+            log(
+                f"{name} 1M rows: {it_c} iters to 1e-4 "
+                f"(res {res_c:.2e}), {t_iter*1e6:.0f} us/iter "
+                f"({1/t_iter:.0f} iters/s) -> {it_c*t_iter*1e3:.1f} ms compute"
+            )
+        except Exception as e:
+            log(f"{name} unavailable: {type(e).__name__}: {e}")
 
     # --- complex SpMV via the fused two-plane kernel (c64 path)
     try:
@@ -226,61 +265,22 @@ def main():
 
             return jax.lax.fori_loop(0, n_iters, bodyf, pair, unroll=1)
 
-        jax.block_until_ready(cchain(cop, (xr2, xi2), jnp.int32(200)))
-        jax.block_until_ready(cchain(cop, (xr2, xi2), jnp.int32(40)))
-        t0 = time.perf_counter()
-        jax.block_until_ready(cchain(cop, (xr2, xi2), jnp.int32(200)))
-        t_long = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(cchain(cop, (xr2, xi2), jnp.int32(40)))
-        t_short = time.perf_counter() - t0
-        t_c = max((t_long - t_short) / 160, 1e-9)
+        def crun(nit):
+            out = cchain(cop, (xr2, xi2), jnp.int32(nit))
+            float(out[0].ravel()[0])  # completion barrier (tunnel queue-ack)
+
+        crun(200); crun(40)
+        diffs = []
+        for _ in range(3):
+            t0 = time.perf_counter(); crun(200); tl = time.perf_counter() - t0
+            t0 = time.perf_counter(); crun(40); ts_ = time.perf_counter() - t0
+            diffs.append((tl - ts_) / 160)
+        diffs.sort()
+        t_c = max(diffs[1], 1e-9)
         gb = (2 * dia.bands.shape[0] * n + 4 * n) * 4 / t_c / 1e9
         log(f"spmv c64 two-plane: {t_c*1e3:.3f} ms -> {nnz/t_c/1e9:.2f} Gcnnz/s ({gb:.0f} GB/s)")
     except Exception as e:
         log(f"complex spmv unavailable: {type(e).__name__}: {e}")
-
-    # --- fused-kernel BiCGStab (M-apply + SpMV + dots in single passes)
-    try:
-        from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
-        from sprsolve_tpu.solvers import bicgstab_fused
-
-        pdia4 = PaddedDIA.from_dia(dia)
-        b4 = jax.block_until_ready(pdia4.pad_vec(rhs))
-        M4 = pdia4.jacobi_precond()
-        f_fu = jax.jit(
-            lambda a, bb, di: bicgstab_fused(
-                a, bb, diag_inv2=di, tol=1e-4, max_iter=200
-            )
-        )
-        x4_s, info4 = f_fu(pdia4, b4, M4.diag_inv)
-        jax.block_until_ready(x4_s)
-        t_fu = timeit(f_fu, pdia4, b4, M4.diag_inv, warmup=1, iters=3)
-        it4 = int(info4.iterations)
-        log(
-            f"bicgstab 1M rows (fused kernels): {t_fu*1e3:.1f} ms, {it4} iters "
-            f"({it4/t_fu:.0f} iters/s), res {float(info4.residual):.2e}"
-        )
-    except Exception as e:
-        log(f"fused bicgstab unavailable: {type(e).__name__}: {e}")
-
-    # --- MINRES on the Pallas path (exercises the fused dotmv kernel)
-    try:
-        from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
-
-        pdia3 = PaddedDIA.from_dia(dia)
-        b3 = jax.block_until_ready(pdia3.pad_vec(rhs))
-        f_mr = jax.jit(lambda a, bb: sp.minres(a, bb, tol=1e-4, max_iter=400))
-        x3_s, info3 = f_mr(pdia3, b3)
-        jax.block_until_ready(x3_s)
-        t_mr = timeit(f_mr, pdia3, b3, warmup=1, iters=3)
-        it3 = int(info3.iterations)
-        log(
-            f"minres 1M rows (pallas fused dotmv): {t_mr*1e3:.1f} ms, "
-            f"{it3} iters ({it3/t_mr:.0f} iters/s), res {float(info3.residual):.2e}"
-        )
-    except Exception as e:
-        log(f"pallas minres unavailable: {type(e).__name__}: {e}")
 
     # --- optional large-scale single-chip check (~10M rows, BENCH_LARGE=1)
     import os
@@ -311,13 +311,18 @@ def main():
     rhs2d = np.zeros(10000, dtype=np.float32)
     problems.set_boundary_condition(rhs2d, (100, 100), lambda r, c: float(r + c))
     dia2d = A2d.to_dia()
-    f2d = jax.jit(lambda a, b: sp.bicgstab(a, b, tol=1e-7, max_iter=1500))
-    x2d, i2d = f2d(dia2d, jnp.asarray(rhs2d))
-    jax.block_until_ready(x2d)
-    t2d = timeit(f2d, dia2d, jnp.asarray(rhs2d), warmup=1, iters=3)
+    rhs2d_j = jnp.asarray(rhs2d)
+
+    def build2d(mi, tol):
+        return jax.jit(lambda: sp.bicgstab(dia2d, rhs2d_j, tol=tol, max_iter=mi))
+
+    x2d, i2d = build2d(1500, 1e-7)()
+    it2d = int(i2d.iterations)
+    t2d_iter = time_solve_periter(lambda mi: build2d(mi, 0.0), lo=200, hi=600)
     log(
-        f"bicgstab 100x100 grid (reference workload): {t2d*1e3:.2f} ms, "
-        f"{int(i2d.iterations)} iters, res {float(i2d.residual):.2e}"
+        f"bicgstab 100x100 grid (reference workload): {it2d} iters to 1e-7 "
+        f"(res {float(i2d.residual):.2e}), {t2d_iter*1e6:.1f} us/iter -> "
+        f"{it2d*t2d_iter*1e3:.2f} ms compute"
     )
 
     # --- roofline accounting for the best SpMV path
