@@ -39,6 +39,7 @@ class _State(NamedTuple):
     alpha: jax.Array
     w: jax.Array
     r0_norm_tol: jax.Array
+    r_norm: jax.Array
     its: jax.Array
     status: jax.Array
     res: jax.Array
@@ -103,20 +104,23 @@ def bicgstab_fused(
             st = _State(
                 x=x, r=r_new, r0=r0, p=p, v=v,
                 rho=rho, alpha=alpha, w=w, r0_norm_tol=r0_norm_tol,
+                r_norm=norm2(r_new),
                 its=jnp.int32(1), status=jnp.int32(Status.RUNNING),
                 res=jnp.zeros((), rdt),
             )
 
+            # convergence is tested in cond_fn on the carried ‖r‖ — same
+            # top-of-iteration sequence as the reference, no vector-carrying
+            # cond per iteration (see bicgstab.py)
             def cond_fn(s_):
-                return (s_.status == Status.RUNNING) & (s_.its < max_iter)
+                return (
+                    (s_.status == Status.RUNNING)
+                    & (s_.its < max_iter)
+                    & (s_.r_norm > tol2)
+                )
 
             def body_fn(s_):
-                r_norm = norm2(s_.r)
-
-                def converged(s_):
-                    return s_._replace(
-                        status=jnp.int32(Status.CONVERGED), res=r_norm / rhs_norm
-                    )
+                r_norm = s_.r_norm
 
                 def step(s_):
                     rho_old = s_.rho
@@ -161,22 +165,32 @@ def bicgstab_fused(
                             x=x, r=r_new, r0=r0_, p=p, v=v,
                             rho=rho, alpha=alpha, w=w,
                             r0_norm_tol=r0_norm_tol,
+                            r_norm=norm2(r_new),
                             its=s_.its + 1, status=s_.status, res=s_.res,
                         )
 
                     return lax.cond(jnp.abs(r0v) <= 0, breakdown, advance, s_)
 
-                return lax.cond(r_norm <= tol2, converged, step, s_)
+                return step(s_)
 
             final = lax.while_loop(cond_fn, body_fn, st)
+            converged_exit = (
+                (final.status == Status.RUNNING)
+                & (final.r_norm <= tol2)
+                & (final.its < max_iter)
+            )
             status = jnp.where(
-                final.status == Status.RUNNING,
-                jnp.int32(Status.INSUFFICIENT_ITER),
-                final.status,
+                converged_exit,
+                jnp.int32(Status.CONVERGED),
+                jnp.where(
+                    final.status == Status.RUNNING,
+                    jnp.int32(Status.INSUFFICIENT_ITER),
+                    final.status,
+                ),
             )
             res = jnp.where(
                 final.status == Status.RUNNING,
-                norm2(final.r) / rhs_norm,
+                final.r_norm / rhs_norm,
                 final.res,
             )
             return final.x, make_info(final.its, res, status)
