@@ -48,26 +48,51 @@ def timeit(fn, *args, warmup=3, iters=20):
     return times[len(times) // 2]  # median
 
 
-def time_solve_periter(build_f, lo=60, hi=140):
-    """Per-iteration solve cost via slope timing: tol=0 forces exactly
-    max_iter iterations; (T_hi − T_lo)/(hi − lo) cancels both the dispatch
-    cost and the ~30 ms fetch round-trip of this tunnel."""
+_RTT_CACHE = {}
+
+
+def measure_rtt():
+    """Dispatch+fetch round-trip of a trivial computation (~30 ms here)."""
+    import jax
+    import jax.numpy as jnp
+
+    if "rtt" in _RTT_CACHE:
+        return _RTT_CACHE["rtt"]
+    f = jax.jit(lambda v: v + 1.0)
+    x = jnp.float32(1.0)
+    float(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    _RTT_CACHE["rtt"] = ts[len(ts) // 2]
+    return _RTT_CACHE["rtt"]
+
+
+def time_solve_periter(build_f, iters_forced=1500):
+    """Per-iteration solve cost from ONE long forced run (tol=0 runs exactly
+    max_iter iterations): total fetch-walltime minus the measured dispatch
+    round-trip, divided by the iteration count. Differential/slope schemes
+    proved unstable through this tunnel (readings below the physical floor);
+    a single long run with compute ≫ RTT bounds the error to ~RTT/total."""
     import jax
 
-    f_lo, f_hi = build_f(lo), build_f(hi)
+    f = build_f(iters_forced)
 
-    def run(f):
+    def run():
         out = f()
         float(jax.tree.leaves(out)[0].ravel()[0])
 
-    run(f_lo); run(f_hi)
-    diffs = []
-    for _ in range(3):
-        t0 = time.perf_counter(); run(f_hi); t_hi = time.perf_counter() - t0
-        t0 = time.perf_counter(); run(f_lo); t_lo = time.perf_counter() - t0
-        diffs.append((t_hi - t_lo) / (hi - lo))
-    diffs.sort()
-    return max(diffs[1], 1e-9)
+    run()  # compile+warm
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    total = min(ts)
+    return max((total - measure_rtt()) / iters_forced, 1e-9)
 
 
 def time_spmv(spmv, op, x, iters=50, warmup=2):
@@ -99,28 +124,20 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
     # differential to zero.
     def run_fetch(n):
         # fetch a value from the result: on the remote-device tunnel,
-        # block_until_ready can return at queue-ack, before execution —
+        # block_until_ready can return at queue-ack before execution —
         # only a device→host value read reliably observes completion
-        # (the solve timings always fetch their SolveInfo and were never
-        # degenerate; unfetched chains sporadically measured ~0).
         out = chain(op, x, jnp.int32(n))
         leaf = jax.tree.leaves(out)[0]
-        float(leaf.ravel()[0])  # tiny device->host read, observes completion
+        float(leaf.ravel()[0])
 
-    short = max(iters // 5, 2)
-    run_fetch(iters)
-    run_fetch(short)
-    diffs = []
-    for rep in range(max(warmup, 5)):
+    run_fetch(iters)  # compile+warm
+    ts = []
+    for _ in range(max(warmup, 2)):
         t0 = time.perf_counter()
         run_fetch(iters)
-        t_long = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        run_fetch(short)
-        t_short = time.perf_counter() - t0
-        diffs.append((t_long - t_short) / (iters - short))
-    diffs.sort()
-    return max(diffs[len(diffs) // 2], 1e-9)  # median rep
+        ts.append(time.perf_counter() - t0)
+    total = min(ts)
+    return max((total - measure_rtt()) / iters, 1e-9)
 
 
 def main():
@@ -173,7 +190,7 @@ def main():
         got = np.asarray(pdia.unpad_vec(pdia.matvec(x2)))
         want = np.asarray(spmv_dia(dia, x))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
-        t_pk = time_spmv(lambda p, v: p.matvec(v), pdia, x2, iters=500)
+        t_pk = time_spmv(lambda p, v: p.matvec(v), pdia, x2, iters=2000)
         results["dia_pallas"] = t_pk
         log(f"spmv DIA-pallas: {t_pk*1e3:.3f} ms  -> {nnz/t_pk/1e9:.2f} Gnnz/s")
     except Exception as e:  # pragma: no cover - kernel may regress on hw
@@ -269,14 +286,11 @@ def main():
             out = cchain(cop, (xr2, xi2), jnp.int32(nit))
             float(out[0].ravel()[0])  # completion barrier (tunnel queue-ack)
 
-        crun(200); crun(40)
-        diffs = []
-        for _ in range(3):
-            t0 = time.perf_counter(); crun(200); tl = time.perf_counter() - t0
-            t0 = time.perf_counter(); crun(40); ts_ = time.perf_counter() - t0
-            diffs.append((tl - ts_) / 160)
-        diffs.sort()
-        t_c = max(diffs[1], 1e-9)
+        crun(1000)  # compile+warm
+        ts_all = []
+        for _ in range(2):
+            t0 = time.perf_counter(); crun(1000); ts_all.append(time.perf_counter() - t0)
+        t_c = max((min(ts_all) - measure_rtt()) / 1000, 1e-9)
         gb = (2 * dia.bands.shape[0] * n + 4 * n) * 4 / t_c / 1e9
         log(f"spmv c64 two-plane: {t_c*1e3:.3f} ms -> {nnz/t_c/1e9:.2f} Gcnnz/s ({gb:.0f} GB/s)")
     except Exception as e:
@@ -318,7 +332,7 @@ def main():
 
     x2d, i2d = build2d(1500, 1e-7)()
     it2d = int(i2d.iterations)
-    t2d_iter = time_solve_periter(lambda mi: build2d(mi, 0.0), lo=200, hi=600)
+    t2d_iter = time_solve_periter(lambda mi: build2d(mi, 0.0), iters_forced=30000)
     log(
         f"bicgstab 100x100 grid (reference workload): {it2d} iters to 1e-7 "
         f"(res {float(i2d.residual):.2e}), {t2d_iter*1e6:.1f} us/iter -> "
