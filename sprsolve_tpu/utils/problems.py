@@ -30,7 +30,6 @@ import numpy as np
 
 from ..sparse.containers import COO, CSR
 
-import jax.numpy as jnp
 
 
 def _coo_to_csr(rows, cols, vals, n, dtype) -> CSR:
