@@ -369,6 +369,13 @@ class CSC:
         )
         return CSR.from_coo(coo)
 
+    def diagonal(self) -> jax.Array:
+        dat = np.asarray(self.data)
+        on_diag = np.asarray(self.indices) == np.asarray(self.col_ids)
+        diag = np.zeros(self.shape[0], dtype=dat.dtype)
+        np.add.at(diag, np.asarray(self.indices)[on_diag], dat[on_diag])
+        return jnp.asarray(diag)
+
     def todense(self) -> jax.Array:
         out = jnp.zeros(self.shape, dtype=self.dtype)
         return out.at[self.indices, self.col_ids].add(self.data)

@@ -62,3 +62,15 @@ def test_solve_general_matrix_without_optimize():
     x, info = sp.solve(A, b, tol=1e-11, max_iter=500)
     info.raise_if_error()
     assert np.linalg.norm(S @ np.asarray(x) - b) < 1e-8
+
+
+def test_solve_accepts_csc_with_jacobi():
+    from sprsolve_tpu import CSC
+
+    indptr = np.array([0, 1, 2, 3])
+    indices = np.array([0, 1, 2])
+    data = np.array([4.0, 5.0, 6.0])
+    A = CSC.from_arrays(data, indices, indptr, (3, 3))
+    x, info = sp.solve(A, np.array([4.0, 10.0, 18.0]), M="jacobi", tol=1e-14, max_iter=50)
+    info.raise_if_error()
+    np.testing.assert_allclose(np.asarray(x), [1.0, 2.0, 3.0], rtol=1e-12)
