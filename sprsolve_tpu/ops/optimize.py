@@ -41,18 +41,14 @@ def optimize(
     indices = np.asarray(m.indices, np.int32)
     n_diags = csr_count_diagonals(n, indptr, indices)
     if n_diags <= max_diags:
-        kernel_complex = prefer_pallas and m.data.dtype == jnp.complex64
-        if kernel_complex:
-            return ComplexPaddedDIA.from_csr(m)
-        dia = DIA.from_csr(m, max_diags=max_diags)
         # Mosaic's lane rotate has no f64 lowering (tpu.dynamic_rotate), so
         # the Pallas kernel serves f32/c64; x64 fidelity runs use the XLA
         # DIA path (or CPU interpret mode).
-        kernel_ok = m.data.dtype in (jnp.float32, jnp.complex64)
-        if prefer_pallas and kernel_ok:
-            if jnp.iscomplexobj(m.data):
-                # host path: complex data never placed on the device
-                return ComplexPaddedDIA.from_csr(m)
+        if prefer_pallas and m.data.dtype == jnp.complex64:
+            # host-side build: complex data never placed on the device
+            return ComplexPaddedDIA.from_csr(m)
+        dia = DIA.from_csr(m, max_diags=max_diags)
+        if prefer_pallas and m.data.dtype == jnp.float32:
             return PaddedDIA.from_dia(dia)
         return dia
     return ELL.from_csr(m)
