@@ -15,30 +15,46 @@ class; what remains is numerical debugging (NaNs, kernel bugs).  Tools:
 from __future__ import annotations
 
 import contextlib
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@contextlib.contextmanager
-def interpret_kernels():
-    """Force the package's Pallas kernels into interpreter mode."""
-    from jax.experimental import pallas as pl
-
+def _clear_kernel_caches():
+    """Drop every jitted pallas-call wrapper so the _INTERPRET flag is
+    re-read at the next trace (a kernel cached in the other mode would
+    silently run compiled inside / interpreted outside the context)."""
+    from .ops import pallas_fused as pf
     from .ops import pallas_spmv as ps
 
-    orig = ps.pl.pallas_call
-    ps.pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
-    ps._dia_pallas_call.clear_cache()
-    ps._dia_dotmv_pallas_call.clear_cache()
+    for f in (
+        ps._dia_pallas_call,
+        ps._dia_dotmv_pallas_call,
+        ps._dia_complex_pallas_call,
+        pf.fused_mz_call,
+        pf.fused_orth_norm_call,
+    ):
+        f.clear_cache()
+
+
+@contextlib.contextmanager
+def interpret_kernels():
+    """Force the package's Pallas kernels into interpreter mode.
+
+    Toggles the package-local ``_INTERPRET`` indirection (the shared
+    ``jax.experimental.pallas`` module is never monkey-patched) and clears
+    all jitted kernel wrappers on enter and exit."""
+    from .ops import pallas_spmv as ps
+
+    prev = ps._INTERPRET[0]
+    ps._INTERPRET[0] = True
+    _clear_kernel_caches()
     try:
         yield
     finally:
-        ps.pl.pallas_call = orig
-        ps._dia_pallas_call.clear_cache()
-        ps._dia_dotmv_pallas_call.clear_cache()
+        ps._INTERPRET[0] = prev
+        _clear_kernel_caches()
 
 
 def check_operator(op, x_example, rtol=None, seed=0):

@@ -51,7 +51,16 @@ def _load():
         return _lib
     if not _build():
         return None
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        # a stale or cross-arch binary (e.g. copied checkout) must degrade to
+        # the NumPy fallbacks, not crash the import of every solve path
+        print(
+            f"sprsolve_tpu.native: load failed ({e}); using python fallbacks",
+            file=sys.stderr,
+        )
+        return None
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     lib.greedy_color.restype = ctypes.c_int32
@@ -90,13 +99,18 @@ def symmetrize_pattern(n: int, indptr: np.ndarray, indices: np.ndarray):
             out_indices.ctypes.data_as(ctypes.c_void_p),
         )
         return out_indptr, out_indices
-    import scipy.sparse as sps
-
-    a = sps.csr_matrix(
-        (np.ones(len(indices), np.int8), indices, indptr), shape=(n, n)
+    # pure-NumPy fallback: dedupe the union of (r,c) and (c,r) pairs
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    cols = indices.astype(np.int64)
+    keys = np.unique(
+        np.concatenate([rows * n + cols, cols * n + rows])
     )
-    s = (a + a.T).tocsr()
-    return s.indptr.astype(np.int64), s.indices.astype(np.int32)
+    out_rows = keys // n
+    out_indices = (keys % n).astype(np.int32)
+    out_indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(out_indptr, out_rows + 1, 1)
+    np.cumsum(out_indptr, out=out_indptr)
+    return out_indptr, out_indices
 
 
 def greedy_color(n: int, indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
@@ -128,13 +142,34 @@ def rcm_order(n: int, indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
         order = np.zeros(n, dtype=np.int32)
         lib.rcm_order(n, indptr, indices, order)
         return order
-    import scipy.sparse as sps
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
-
-    a = sps.csr_matrix(
-        (np.ones(len(indices), np.int8), indices, indptr), shape=(n, n)
-    )
-    return reverse_cuthill_mckee(a, symmetric_mode=True).astype(np.int32)
+    # pure-NumPy BFS Cuthill-McKee (degree-ascending tie-break), reversed.
+    # Matches the native hostkit semantics; O(n + nnz) with python-level BFS
+    # over frontier layers (vectorized within each layer).
+    deg = np.diff(indptr)
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int32)
+    pos = 0
+    by_deg = np.argsort(deg, kind="stable")
+    for seed in by_deg:
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        order[pos] = seed
+        frontier = np.array([seed], dtype=np.int64)
+        pos += 1
+        while len(frontier):
+            nxt = []
+            for u in frontier:
+                nbr = indices[indptr[u] : indptr[u + 1]]
+                nbr = nbr[~visited[nbr]]
+                if len(nbr):
+                    nbr = nbr[np.argsort(deg[nbr], kind="stable")]
+                    visited[nbr] = True
+                    order[pos : pos + len(nbr)] = nbr
+                    pos += len(nbr)
+                    nxt.append(nbr)
+            frontier = np.concatenate(nxt) if nxt else np.empty(0, np.int64)
+    return order[::-1].copy()
 
 
 def coo_sort_perm(n_rows: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:

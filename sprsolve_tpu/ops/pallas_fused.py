@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_spmv import _band_accumulate
+from .pallas_spmv import _band_accumulate, _pallas_call
 
 
 def _fused_mz_kernel(
@@ -108,7 +108,7 @@ def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dot
     )
     if dots == "aux":
         grid, in_specs, out_specs = _mz_specs(d, r_pad, hr, lanes, block_rows, 3)
-        z, t, parts = pl.pallas_call(
+        z, t, parts = _pallas_call(
             functools.partial(
                 _fused_mz_kernel, offsets=offsets, hr=hr, lanes=lanes
             ),
@@ -119,7 +119,7 @@ def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dot
         )(bands3, xin2, dinv2, aux2)
     else:
         grid, in_specs, out_specs = _mz_specs(d, r_pad, hr, lanes, block_rows, 2)
-        z, t, parts = pl.pallas_call(
+        z, t, parts = _pallas_call(
             functools.partial(
                 _fused_mz_self_kernel, offsets=offsets, hr=hr, lanes=lanes
             ),
@@ -169,7 +169,7 @@ def fused_orth_norm_call(a2, vold2, v2, beta, alpha, hr, block_rows):
         (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     scal = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    vn, parts = pl.pallas_call(
+    vn, parts = _pallas_call(
         functools.partial(_orth_norm_kernel, hr=hr),
         grid=grid,
         in_specs=[win, win, win, scal, scal],

@@ -44,6 +44,16 @@ from ..sparse.containers import DIA
 LANES = 256
 BLOCK_ROWS = 256
 
+# interpreter-mode flag read at trace time; debug.interpret_kernels toggles it
+# (and clears the jit caches) instead of monkey-patching the pallas module.
+_INTERPRET = [False]
+
+
+def _pallas_call(kernel, **kwargs):
+    """Package-local pallas_call: every kernel in this package routes through
+    here so the CPU-oracle interpreter mode can be switched on centrally."""
+    return pl.pallas_call(kernel, interpret=_INTERPRET[0], **kwargs)
+
 
 def _band_accumulate(bands_ref, window, *, offsets, hr, lanes, br, dtype):
     """Σ_d bands[d] ⊙ shift(window, off_d) for one row block, all from VMEM.
@@ -128,7 +138,7 @@ def _dia_complex_pallas_call(bre3, bim3, xr2, xi2, offsets, hr, lanes, block_row
     body = pl.BlockSpec(
         (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_dia_complex_kernel, offsets=offsets, hr=hr, lanes=lanes),
         grid=grid,
         in_specs=[bspec, bspec, win, win],
@@ -144,7 +154,7 @@ def _dia_complex_pallas_call(bre3, bim3, xr2, xi2, offsets, hr, lanes, block_row
 def _dia_dotmv_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
     d, r_pad, _ = bands3.shape
     grid = (r_pad // block_rows,)
-    y, partials = pl.pallas_call(
+    y, partials = _pallas_call(
         functools.partial(_dia_dot_kernel, offsets=offsets, hr=hr, lanes=lanes),
         grid=grid,
         in_specs=[
@@ -179,7 +189,7 @@ def _dia_dotmv_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
 def _dia_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
     d, r_pad, _ = bands3.shape
     grid = (r_pad // block_rows,)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_dia_kernel, offsets=offsets, hr=hr, lanes=lanes),
         grid=grid,
         in_specs=[

@@ -19,7 +19,18 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="session")
+def _interpret_pallas():
+    """The CPU backend only runs Pallas kernels in interpreter mode; enable
+    it once for the whole suite through the package's supported switch."""
+    from sprsolve_tpu.debug import interpret_kernels
+
+    with interpret_kernels():
+        yield

@@ -1,31 +1,13 @@
 """Fused BiCGStab: agreement with the generic solver (interpret mode)."""
 
-import functools
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
-from jax.experimental import pallas as pl
 
 import sprsolve_tpu as sp
 import sprsolve_tpu.ops.pallas_fused as pf
 import sprsolve_tpu.ops.pallas_spmv as ps
 from sprsolve_tpu.utils import problems
-
-
-@pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
-    monkeypatch.setattr(
-        ps.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
-    monkeypatch.setattr(
-        pf.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
-    for f in (ps._dia_pallas_call, ps._dia_dotmv_pallas_call, pf.fused_mz_call):
-        f.clear_cache()
-    yield
-    for f in (ps._dia_pallas_call, ps._dia_dotmv_pallas_call, pf.fused_mz_call):
-        f.clear_cache()
 
 
 def test_fused_kernels_match_unfused():

@@ -2,12 +2,9 @@
 full Pallas-layout BiCGStab + GS-preconditioner combination (BASELINE config
 #4's solver stack, miniature)."""
 
-import functools
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
-from jax.experimental import pallas as pl
 
 import sprsolve_tpu as sp
 import sprsolve_tpu.ops.pallas_spmv as ps
@@ -53,13 +50,9 @@ def test_masked_gs_precond_accelerates_bicgstab():
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-11
 
 
-def test_masked_gs_in_pallas_layout(monkeypatch):
+def test_masked_gs_in_pallas_layout():
     """The whole stack — Pallas SpMV + masked-GS preconditioner + BiCGStab —
-    in the kernel's padded 2-D layout (interpret mode)."""
-    monkeypatch.setattr(
-        ps.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
-    ps._dia_pallas_call.clear_cache()
+    in the kernel's padded 2-D layout (interpret mode via conftest)."""
     A, b = _dirichlet((16, 16))
     p = ps.PaddedDIA.from_dia(A.to_dia())
     colors = sp.greedy_color(A)
@@ -76,4 +69,3 @@ def test_masked_gs_in_pallas_layout(monkeypatch):
     x = p.unpad_vec(x2)
     r = np.asarray(A.matvec(x)) - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
-    ps._dia_pallas_call.clear_cache()

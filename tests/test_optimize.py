@@ -1,26 +1,12 @@
 """Operator-optimization tests: format selection and the complex-plane
 Pallas wrapper (interpret mode)."""
 
-import functools
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
-from jax.experimental import pallas as pl
 
 import sprsolve_tpu as sp
-import sprsolve_tpu.ops.pallas_spmv as ps
 from sprsolve_tpu.utils import problems
-
-
-@pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
-    monkeypatch.setattr(
-        ps.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
-    ps._dia_pallas_call.clear_cache()
-    yield
-    ps._dia_pallas_call.clear_cache()
 
 
 def test_optimize_picks_pallas_dia_for_stencil():

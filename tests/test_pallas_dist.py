@@ -1,28 +1,15 @@
 """DistPaddedDIA: the distributed Pallas path — per-shard stencil kernel with
 ppermute halo exchange — on the virtual 8-device mesh (interpret mode)."""
 
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.experimental import pallas as pl
 
 import sprsolve_tpu as sp
-import sprsolve_tpu.ops.pallas_spmv as ps
 from sprsolve_tpu.parallel import DistPaddedDIA, distributed_solve
 from sprsolve_tpu.utils import problems
-
-
-@pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
-    monkeypatch.setattr(
-        ps.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
-    ps._dia_pallas_call.clear_cache()
-    yield
-    ps._dia_pallas_call.clear_cache()
 
 
 def test_dist_spmv_matches_local():

@@ -2,28 +2,13 @@
 (the kernel-debugging path SURVEY.md §5 prescribes in place of sanitizers).
 The real-TPU timing/validation happens in bench.py."""
 
-import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
-from jax.experimental import pallas as pl
 
 import sprsolve_tpu.ops.pallas_spmv as ps
 from sprsolve_tpu.ops.spmv import spmv_dia
 from sprsolve_tpu.utils import problems
-
-
-@pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
-    monkeypatch.setattr(
-        ps.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
-    # the jitted wrapper caches compiled (non-interpret) kernels; clear it
-    ps._dia_pallas_call.clear_cache()
-    yield
-    ps._dia_pallas_call.clear_cache()
 
 
 def test_poisson3d_matches_oracle():
@@ -96,30 +81,18 @@ def test_minres_uses_fused_dotmv_in_pallas_layout():
 
 
 def test_fused_orth_norm_matches_unfused():
-    import sprsolve_tpu.ops.pallas_fused as pf
-    import functools as ft
-    from jax.experimental import pallas as pl_
-
-    # interpret mode for the fused module too
-    orig = pf.pl.pallas_call
-    pf.pl.pallas_call = ft.partial(pl_.pallas_call, interpret=True)
-    pf.fused_orth_norm_call.clear_cache()
-    try:
-        A = problems.poisson3d(8, 8, 8, dtype=np.float64)
-        p = ps.PaddedDIA.from_dia(A.to_dia())
-        rng = np.random.default_rng(5)
-        a2 = p.pad_vec(jnp.asarray(rng.standard_normal(512)))
-        v0 = p.pad_vec(jnp.asarray(rng.standard_normal(512)))
-        v1 = p.pad_vec(jnp.asarray(rng.standard_normal(512)))
-        beta, alpha = jnp.float64(0.7), jnp.float64(-1.3)
-        vn, sumsq = p.orth_norm(a2, v0, v1, beta, alpha)
-        want = a2 - beta * v0 - alpha * v1
-        np.testing.assert_allclose(
-            np.asarray(vn), np.asarray(want), rtol=1e-13, atol=1e-14
-        )
-        np.testing.assert_allclose(
-            float(sumsq), float(jnp.sum(want * want)), rtol=1e-12
-        )
-    finally:
-        pf.pl.pallas_call = orig
-        pf.fused_orth_norm_call.clear_cache()
+    A = problems.poisson3d(8, 8, 8, dtype=np.float64)
+    p = ps.PaddedDIA.from_dia(A.to_dia())
+    rng = np.random.default_rng(5)
+    a2 = p.pad_vec(jnp.asarray(rng.standard_normal(512)))
+    v0 = p.pad_vec(jnp.asarray(rng.standard_normal(512)))
+    v1 = p.pad_vec(jnp.asarray(rng.standard_normal(512)))
+    beta, alpha = jnp.float64(0.7), jnp.float64(-1.3)
+    vn, sumsq = p.orth_norm(a2, v0, v1, beta, alpha)
+    want = a2 - beta * v0 - alpha * v1
+    np.testing.assert_allclose(
+        np.asarray(vn), np.asarray(want), rtol=1e-13, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        float(sumsq), float(jnp.sum(want * want)), rtol=1e-12
+    )
