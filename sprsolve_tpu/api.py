@@ -82,16 +82,37 @@ def solve(
     if isinstance(A, CSR) and optimize_layout:
         op = _optimize(A)
 
-    from .precond import DiagPrecond as _DP
+    from .errors import InvalidPreconditioner
+    from .precond import ComplexDiagPrecond as _CDP, DiagPrecond as _DP
+
+    if M is not None and method == "cs_minres":
+        # the reference CSMinRes has no preconditioned variant
+        # (src/cs_minres.rs exports only solve); silently dropping M would
+        # hand back an unpreconditioned solve the user didn't ask for
+        raise InvalidPreconditioner(
+            "cs_minres has no preconditioned form; pass M=None"
+        )
 
     padded = isinstance(op, (PaddedDIA, ComplexPaddedDIA))
     if padded:
         if isinstance(M, str) and M == "jacobi":
-            M = op.jacobi_precond() if isinstance(op, PaddedDIA) else None
+            M = op.jacobi_precond()
         elif isinstance(M, _DP):
             # re-lay the diagonal into the kernel's padded layout; zero pads
             # keep the pad coordinates inert
-            M = _DP(diag_inv=op.pad_vec(M.diag_inv))
+            di = M.diag_inv
+            if jnp.iscomplexobj(di):
+                M = _CDP(
+                    inv_re=op.re.pad_vec(jnp.real(di)),
+                    inv_im=op.re.pad_vec(jnp.imag(di)),
+                ) if isinstance(op, ComplexPaddedDIA) else None
+                if M is None:
+                    raise InvalidPreconditioner(
+                        "complex diagonal preconditioner on a real operator"
+                    )
+            else:
+                pv = op.re.pad_vec if isinstance(op, ComplexPaddedDIA) else op.pad_vec
+                M = _DP(diag_inv=pv(di))
         b_run = op.pad_vec(b)
         x0_run = op.pad_vec(jnp.asarray(x0)) if x0 is not None else None
     else:
@@ -102,7 +123,7 @@ def solve(
         x0_run = jnp.asarray(x0) if x0 is not None else None
 
     kwargs = dict(tol=tol, max_iter=max_iter)
-    if M is not None and method != "cs_minres":
+    if M is not None:
         kwargs["M"] = M
     if padded and jnp.iscomplexobj(b_run):
         # complex vectors cross the jit boundary as real planes — some
@@ -110,9 +131,15 @@ def solve(
         from .solvers import with_real_planes
 
         run = jax.jit(
-            lambda a, br, bi: with_real_planes(partial(solver, **kwargs))(a, br, bi)
+            lambda a, br, bi, xr0, xi0: with_real_planes(
+                partial(solver, **kwargs)
+            )(a, br, bi, xr0, xi0)
         )
-        xr, xi, info = run(op, jnp.real(b_run), jnp.imag(b_run))
+        if x0_run is None:
+            x0_re = x0_im = jnp.zeros_like(jnp.real(b_run))
+        else:
+            x0_re, x0_im = jnp.real(x0_run), jnp.imag(x0_run)
+        xr, xi, info = run(op, jnp.real(b_run), jnp.imag(b_run), x0_re, x0_im)
         return op.unpad_vec(xr + 1j * xi), info
     x_run, info = jax.jit(partial(solver, **kwargs))(op, b_run, x0_run)
     if padded:

@@ -452,6 +452,23 @@ class ComplexPaddedDIA:
     def diagonal_padded(self) -> jax.Array:
         return self.re.diagonal_padded() + 1j * self.im.diagonal_padded()
 
+    def jacobi_precond(self):
+        """Complex Jacobi preconditioner in padded layout, as re/im planes
+        (no complex array is ever materialized outside a compiled program).
+
+        Pad/halo slots have a structurally zero diagonal; their reciprocal is
+        forced to 1 + 0i so they stay inert (their residual is exactly 0)."""
+        from ..precond import ComplexDiagPrecond
+
+        dr = self.re.diagonal_padded()
+        di = self.im.diagonal_padded()
+        denom = dr * dr + di * di
+        one = jnp.ones((), dr.dtype)
+        safe = jnp.where(denom == 0, one, denom)
+        inv_re = jnp.where(denom == 0, one, dr) / safe
+        inv_im = jnp.where(denom == 0, jnp.zeros((), dr.dtype), -di) / safe
+        return ComplexDiagPrecond(inv_re=inv_re, inv_im=inv_im)
+
 
 jax.tree_util.register_dataclass(
     ComplexPaddedDIA, data_fields=("re", "im"), meta_fields=()

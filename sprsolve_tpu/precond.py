@@ -48,6 +48,53 @@ jax.tree_util.register_dataclass(DiagPrecond, data_fields=("diag_inv",), meta_fi
 
 
 @dataclasses.dataclass(frozen=True)
+class ComplexDiagPrecond:
+    """Jacobi preconditioner with a *complex* diagonal, stored as re/im planes.
+
+    The pytree leaves are real arrays, so this preconditioner can cross jit
+    boundaries on backends that reject complex device buffers (the same
+    constraint that motivates :class:`~sprsolve_tpu.ops.pallas_spmv.ComplexPaddedDIA`
+    and ``with_real_planes``); the complex multiply exists only inside the
+    compiled program.  Semantics match ``DiagPrecond`` with ``1/d`` complex
+    (reference ``src/precond.rs:20-30`` with ``V = Complex``).
+    """
+
+    inv_re: jax.Array
+    inv_im: jax.Array
+
+    @staticmethod
+    def new(diag) -> "ComplexDiagPrecond":
+        import numpy as np
+
+        d = np.asarray(diag)
+        inv = np.ones((), d.dtype) / d
+        rdt = inv.real.dtype
+        return ComplexDiagPrecond(
+            inv_re=jnp.asarray(inv.real.astype(rdt)),
+            inv_im=jnp.asarray(inv.imag.astype(rdt)),
+        )
+
+    @property
+    def shape(self):
+        n = self.inv_re.shape[0]
+        return (n, n)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return x * (self.inv_re + 1j * self.inv_im).astype(x.dtype)
+
+    def matvec_dot(self, x: jax.Array):
+        from .vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+
+jax.tree_util.register_dataclass(
+    ComplexDiagPrecond, data_fields=("inv_re", "inv_im"), meta_fields=()
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class ChebyshevPrecond:
     """Chebyshev polynomial preconditioner: M⁻¹ ≈ p_k(A) ≈ A⁻¹ on [λmin, λmax].
 

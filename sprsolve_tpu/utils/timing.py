@@ -114,30 +114,3 @@ def trace(logdir: str = "/tmp/sprsolve_tpu_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
-
-
-@dataclass
-class ResidualHistory:
-    """Per-stride residual tracing for convergence studies.
-
-    The reference prints nothing per iteration. This helper re-invokes the
-    solver warm-started in ``stride``-iteration chunks and records the
-    reported residual after each chunk. Note Krylov methods are *restarted*
-    at each chunk boundary (the Krylov space is rebuilt from the current
-    iterate), so the trace is of the restarted method — use stride=1 only
-    for qualitative convergence curves."""
-
-    residuals: list
-
-    @staticmethod
-    def capture(solver_fn, A, b, *, tol, max_iter: int, stride: int = 1, **kw):
-        import numpy as np
-
-        x = jnp.zeros_like(b)
-        res = []
-        for k in range(0, max_iter, stride):
-            x, info = solver_fn(A, b, x, tol=tol, max_iter=stride, **kw)
-            res.append(float(info.residual))
-            if int(info.status) == 0:
-                break
-        return ResidualHistory(residuals=res)

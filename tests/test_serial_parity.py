@@ -167,9 +167,15 @@ def test_bicgstab_iteration_parity():
     assert st == "converged"
 
     _, (it_jax, res_jax) = sp.BiCGStab.new(A, 400).solve(rhs, max_iter=1500, tol=1e-17)
-    # non-symmetric Krylov: summation order shifts counts; require same
-    # order of magnitude of work and both at tolerance
-    assert abs(it_jax - it_serial) <= max(10, it_serial)
+    # Golden counts (deterministic on the CPU backend). tol=1e-17 relative
+    # sits below the f64 rounding floor, where BiCGStab's ω/ρ ratios amplify
+    # the difference between the oracle's left-fold dots and XLA's pairwise
+    # dots; pairwise is *more* accurate, so the JAX count lands lower
+    # (112 vs 128). A 25% band is the honest cross-implementation envelope
+    # for this regime; the goldens pin each implementation exactly.
+    assert it_serial == 128
+    assert it_jax == 112
+    assert abs(it_jax - it_serial) <= max(3, -(-it_serial // 4))
     assert res_jax <= 1e-17 and res_serial <= 1e-17
 
 
@@ -282,4 +288,8 @@ def test_precond_bicgstab_complex_parity():
         P, rhs, max_iter=300, tol=1e-22
     )
     assert res_jax <= 1e-22 and res_serial <= 1e-22
-    assert abs(it_jax - it_serial) <= max(10, it_serial)
+    # exact iteration-count parity on this workload (golden 40 == 40): the
+    # Jacobi-preconditioned complex-symmetric system converges well above the
+    # c128 rounding floor, so reduction order doesn't shift the count
+    assert it_serial == 40
+    assert it_jax == it_serial
