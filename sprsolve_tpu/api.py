@@ -73,17 +73,20 @@ def solve(
     reaches for when they don't care about layouts.
     """
     from .ops.optimize import optimize as _optimize
-    from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
+    from .sparse.containers import CSC
 
     solver = _SOLVERS[method]
     b = jnp.asarray(b)
 
     op = A
-    if isinstance(A, CSR) and optimize_layout:
-        op = _optimize(A)
+    if optimize_layout:
+        if isinstance(A, CSC):
+            op = _optimize(A.to_csr())
+        elif isinstance(A, CSR):
+            op = _optimize(A)
 
     from .errors import InvalidPreconditioner
-    from .precond import ComplexDiagPrecond as _CDP, DiagPrecond as _DP
+    from .precond import DiagPrecond as _DP
 
     if M is not None and method == "cs_minres":
         # the reference CSMinRes has no preconditioned variant
@@ -93,26 +96,20 @@ def solve(
             "cs_minres has no preconditioned form; pass M=None"
         )
 
-    padded = isinstance(op, (PaddedDIA, ComplexPaddedDIA))
+    # "padded" = the operator works in its own internal vector layout
+    # (PaddedDIA / ComplexPaddedDIA / Reordered wrappers all expose
+    # pad_vec/unpad_vec); solve() converts at the boundary only.
+    padded = hasattr(op, "pad_vec")
     if padded:
         if isinstance(M, str) and M == "jacobi":
             M = op.jacobi_precond()
         elif isinstance(M, _DP):
-            # re-lay the diagonal into the kernel's padded layout; zero pads
-            # keep the pad coordinates inert
-            di = M.diag_inv
-            if jnp.iscomplexobj(di):
-                M = _CDP(
-                    inv_re=op.re.pad_vec(jnp.real(di)),
-                    inv_im=op.re.pad_vec(jnp.imag(di)),
-                ) if isinstance(op, ComplexPaddedDIA) else None
-                if M is None:
-                    raise InvalidPreconditioner(
-                        "complex diagonal preconditioner on a real operator"
-                    )
-            else:
-                pv = op.re.pad_vec if isinstance(op, ComplexPaddedDIA) else op.pad_vec
-                M = _DP(diag_inv=pv(di))
+            # re-lay the diagonal into the operator's internal layout
+            # (padding and/or permutation); zero pads stay inert
+            try:
+                M = op.relay_diag_precond(M)
+            except NotImplementedError as e:
+                raise InvalidPreconditioner(str(e)) from e
         b_run = op.pad_vec(b)
         x0_run = op.pad_vec(jnp.asarray(x0)) if x0 is not None else None
     else:

@@ -355,6 +355,17 @@ class PaddedDIA:
         safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
         return DiagPrecond(diag_inv=jnp.ones((), d.dtype) / safe)
 
+    def relay_diag_precond(self, M):
+        """Re-lay a flat-layout DiagPrecond into the padded layout (zero pads
+        keep pad coordinates inert)."""
+        from ..precond import DiagPrecond
+
+        if jnp.iscomplexobj(M.diag_inv):
+            raise NotImplementedError(
+                "complex diagonal preconditioner on a real operator"
+            )
+        return DiagPrecond(diag_inv=self.pad_vec(M.diag_inv))
+
 
 jax.tree_util.register_dataclass(
     PaddedDIA,
@@ -468,6 +479,24 @@ class ComplexPaddedDIA:
         inv_re = jnp.where(denom == 0, one, dr) / safe
         inv_im = jnp.where(denom == 0, jnp.zeros((), dr.dtype), -di) / safe
         return ComplexDiagPrecond(inv_re=inv_re, inv_im=inv_im)
+
+    def relay_diag_precond(self, M):
+        """Re-lay a flat DiagPrecond into padded layout, splitting complex
+        diagonals into re/im planes (no complex array crosses any device
+        boundary — the axon backend rejects complex buffers)."""
+        import numpy as np
+
+        from ..precond import ComplexDiagPrecond, DiagPrecond
+
+        di = np.asarray(M.diag_inv)
+        if np.iscomplexobj(di):
+            rdt = di.real.dtype
+            return ComplexDiagPrecond(
+                inv_re=self.re.pad_vec(jnp.asarray(di.real.astype(rdt))),
+                inv_im=self.re.pad_vec(jnp.asarray(di.imag.astype(rdt))),
+            )
+        # real diagonal on a complex system (reference src/precond.rs:6-13)
+        return DiagPrecond(diag_inv=self.re.pad_vec(jnp.asarray(di)))
 
 
 jax.tree_util.register_dataclass(

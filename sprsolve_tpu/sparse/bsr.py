@@ -60,6 +60,23 @@ class BSR:
         return float((b != 0).sum() / b.size) if b.size else 0.0
 
     @staticmethod
+    def estimate_blocks(m: CSR, bs: int) -> int:
+        """Number of (bs × bs) blocks the pattern touches (pattern-only,
+        no block materialization) — the routing cost model in optimize()."""
+        nb = -(-m.shape[0] // bs)
+        br = np.asarray(m.row_ids, dtype=np.int64) // bs
+        bc = np.asarray(m.indices, dtype=np.int64) // bs
+        return len(np.unique(br * nb + bc))
+
+    def jacobi_precond(self):
+        """Diagonal preconditioner on the flat layout (zero diag → inert 1)."""
+        from ..precond import DiagPrecond
+
+        d = self.diagonal()
+        safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+        return DiagPrecond(diag_inv=jnp.ones((), d.dtype) / safe)
+
+    @staticmethod
     def from_csr(m: CSR, bs: int = 128) -> "BSR":
         n = m.shape[0]
         nb = -(-n // bs)

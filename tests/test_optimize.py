@@ -25,14 +25,65 @@ def test_optimize_routes_x64_to_xla_dia():
     assert isinstance(op, sp.DIA)
 
 
-def test_optimize_picks_ell_for_random_pattern():
+def test_optimize_routes_random_pattern_off_ell():
+    """A non-banded pattern must land on a structured layout (Reordered DIA
+    or BSR), never the catastrophic scalar-gather ELL path (VERDICT r1 #1)."""
     import scipy.sparse as sps
 
     S = sps.random(300, 300, density=0.02, random_state=0, format="csr")
     S = S + sps.eye(300)
     A = sp.csr_from_scipy(S)
     op = sp.optimize(A)
+    assert not isinstance(op, sp.ELL)
+    x = np.random.default_rng(3).standard_normal(300)
+    if hasattr(op, "pad_vec"):
+        got = np.asarray(op.unpad_vec(op.matvec(op.pad_vec(jnp.asarray(x)))))
+    else:
+        got = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(got, S @ x, rtol=1e-10, atol=1e-12)
+
+
+def test_optimize_reordered_solve_roundtrip():
+    """End-to-end solve() through a Reordered operator: permutations at the
+    boundary only, original-order solution returned."""
+    import scipy.sparse as sps
+
+    rng = np.random.default_rng(7)
+    # banded SPD-ish system hidden behind a random symmetric permutation
+    n = 240
+    base = sps.diags(
+        [rng.standard_normal(n - 3), np.full(n, 8.0), rng.standard_normal(n - 3)],
+        [-3, 0, 3],
+        format="csr",
+    )
+    p = rng.permutation(n)
+    P = sps.eye(n, format="csr")[p]
+    S = (P @ base @ P.T).tocsr()
+    A = sp.csr_from_scipy(S)
+    op = sp.optimize(A)
+    from sprsolve_tpu.ops.reordered import Reordered
+
+    assert isinstance(op, Reordered)
+    b = rng.standard_normal(n)
+    x, info = sp.solve(A, b, M="jacobi", tol=1e-12, max_iter=500)
+    info.raise_if_error()
+    assert np.linalg.norm(S @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_optimize_ell_fallback_warns():
+    """Unstructured complex (no BSR route) falls back to ELL with a warning."""
+    import warnings
+
+    import scipy.sparse as sps
+
+    S = sps.random(300, 300, density=0.05, random_state=1, format="csr")
+    S = (S + sps.eye(300)).astype(np.complex128)
+    A = sp.csr_from_scipy(S)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        op = sp.optimize(A, allow_reorder=False, wide_diags=0)
     assert isinstance(op, sp.ELL)
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
 
 
 def test_complex_padded_dia_matches_oracle():
