@@ -14,6 +14,7 @@ Because every solver already threads an ``axis_name`` through its reductions
 ``shard_map`` — distribution is purely an operator + data-layout concern.
 """
 
+from . import multihost
 from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
 from .pallas_dist import DistPaddedDIA
 from .solve import distributed_solve, make_solver_specs
@@ -26,4 +27,5 @@ __all__ = [
     "partition_dia",
     "distributed_solve",
     "make_solver_specs",
+    "multihost",
 ]

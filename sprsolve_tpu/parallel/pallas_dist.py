@@ -31,7 +31,12 @@ import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from ..ops.pallas_spmv import BLOCK_ROWS, LANES, _dia_pallas_call
+from ..ops.pallas_spmv import (
+    BLOCK_ROWS,
+    LANES,
+    _dia_dotmv_pallas_call,
+    _dia_pallas_call,
+)
 from ..sparse.containers import DIA
 
 
@@ -104,33 +109,70 @@ class DistPaddedDIA:
         )
 
     # ---- distributed matvec (inside shard_map) -----------------------------
-    def matvec(self, body: jax.Array) -> jax.Array:
+    def _exchange_halo(self, body: jax.Array) -> jax.Array:
+        """Build the kernel-ready (hr + r_local + hr, lanes) x window.
+
+        The two ppermutes are independent of each other and of the band
+        loads, so XLA overlaps them with the kernel's first block DMAs."""
         ax = self.axis_name
         nd = lax.axis_size(ax)
         hr = self.hr
         if hr == 0:  # diagonal-only operator: no neighbor coupling
-            x_ext = body
-        else:
-            # halo exchange: device i's top halo rows are the left neighbor's
-            # tail, bottom halo rows the right neighbor's head. Unmatched
-            # edges → zeros (the global boundary condition, matching the zero
-            # band padding).
-            top = lax.ppermute(
-                body[self.r_local - hr :], ax, perm=[(i, i + 1) for i in range(nd - 1)]
-            )
-            bottom = lax.ppermute(
-                body[:hr], ax, perm=[(i + 1, i) for i in range(nd - 1)]
-            )
-            x_ext = jnp.concatenate([top, body, bottom], axis=0)
+            return body
+        # halo exchange: device i's top halo rows are the left neighbor's
+        # tail, bottom halo rows the right neighbor's head. Unmatched
+        # edges → zeros (the global boundary condition, matching the zero
+        # band padding).
+        top = lax.ppermute(
+            body[self.r_local - hr :], ax, perm=[(i, i + 1) for i in range(nd - 1)]
+        )
+        bottom = lax.ppermute(
+            body[:hr], ax, perm=[(i + 1, i) for i in range(nd - 1)]
+        )
+        return jnp.concatenate([top, body, bottom], axis=0)
+
+    def matvec(self, body: jax.Array) -> jax.Array:
         return _dia_pallas_call(
-            self.bands3, x_ext, self.offsets, hr, self.lanes, self.block_rows
+            self.bands3,
+            self._exchange_halo(body),
+            self.offsets,
+            self.hr,
+            self.lanes,
+            self.block_rows,
         )
 
     def matvec_dot(self, body: jax.Array):
-        from ..vecalg import conj_dot
+        """Fused SpMV + local partial of conj(x)·(A·x), matching the
+        single-chip ``PaddedDIA.matvec_dot`` structure: the dot reads x and
+        y while they are in VMEM (no extra HBM pass). Solvers psum the
+        returned partial over the row axis."""
+        y, dot = _dia_dotmv_pallas_call(
+            self.bands3,
+            self._exchange_halo(body),
+            self.offsets,
+            self.hr,
+            self.lanes,
+            self.block_rows,
+        )
+        return y, dot[0, 0]
 
-        y = self.matvec(body)
-        return y, conj_dot(body, y)  # local partial; solvers psum it
+    def orth_norm(self, a, vold, v, beta, alpha):
+        """Fused Lanczos orthogonalization + local Σ|v₊|² partial, the
+        distributed mirror of ``PaddedDIA.orth_norm``. Vectors here are halo-
+        free (r_local, lanes) bodies, so the kernel runs with hr=0; the
+        caller (MINRES with ``axis_name``) psums the partial."""
+        from ..ops.pallas_fused import fused_orth_norm_call
+
+        vn, sumsq = fused_orth_norm_call(
+            a,
+            vold,
+            v,
+            jnp.asarray(beta, a.dtype),
+            jnp.asarray(alpha, a.dtype),
+            0,
+            self.block_rows,
+        )
+        return vn, sumsq
 
     def diagonal_global(self) -> jax.Array:
         """Global (D·r_local, LANES) diagonal (for preconditioner setup)."""

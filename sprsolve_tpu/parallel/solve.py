@@ -109,6 +109,26 @@ def distributed_solve(
 
     in_specs, out_specs = make_solver_specs(A_parts, M_parts, axis_name)
 
+    if jax.process_count() > 1:
+        # multi-host: shard_map needs globally-sharded jax.Arrays (each
+        # process holds only its addressable row blocks); host numpy inputs
+        # are placed per-leaf according to the same in_specs
+        from .multihost import host_to_global
+
+        def _place(leaf, spec):
+            if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                return leaf  # already global
+            return host_to_global(leaf, mesh, spec)
+
+        if M_parts is None:
+            (A_parts, b, x0) = jax.tree.map(
+                _place, (A_parts, b, x0), tuple(in_specs)
+            )
+        else:
+            (A_parts, b, x0, M_parts) = jax.tree.map(
+                _place, (A_parts, b, x0, M_parts), tuple(in_specs)
+            )
+
     if M_parts is None:
 
         def run(A_, b_, x_):
@@ -134,8 +154,12 @@ def distributed_solve(
     x_pad, info = sharded(*args)
     # Replicate the solution before returning: downstream host-side use
     # (residual checks, slicing off the padding) on a row-sharded array would
-    # hit gather-sharding ambiguities. The solve itself ran fully sharded.
-    x_pad = jax.device_put(x_pad, jax.sharding.NamedSharding(mesh, P()))
+    # hit gather-sharding ambiguities — and under multi-host the row-sharded
+    # result is not even fully addressable. The solve itself ran fully
+    # sharded; this is one all-gather at the end.
+    from .multihost import replicate
+
+    x_pad = replicate(x_pad, mesh)
     if isinstance(A_parts, DistPaddedDIA):
         return A_parts.unpad_vec(x_pad), info
     if n_pad != n:

@@ -53,6 +53,62 @@ def test_dist_pallas_bicgstab():
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
 
 
+def test_dist_matvec_dot_fused_partials():
+    """matvec_dot returns per-shard partials of conj(x)·(A·x) whose psum
+    equals the serial fused dot (the mkl_sparse_?_dotmv analog, distributed)."""
+    A = problems.poisson3d(12, 12, 12, dtype=np.float64)
+    dia = A.to_dia()
+    op = DistPaddedDIA.from_dia(dia, 8, lanes=256, block_rows=8)
+    n = A.shape[0]
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(n))
+    y_want = np.asarray(A.matvec(x))
+    dot_want = float(np.asarray(x) @ y_want)
+
+    mesh = jax.make_mesh((8,), ("rows",))
+    from jax.sharding import PartitionSpec as P
+
+    def f(o, v):
+        y, d = o.matvec_dot(v)
+        return y, jax.lax.psum(d, "rows")
+
+    with jax.set_mesh(mesh):
+        y2, dot = jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(op.pspec(), P("rows")),
+            out_specs=(P("rows"), P()),
+            check_vma=False,
+        )(op, op.pad_vec(x))
+    y2 = jax.device_put(y2, jax.sharding.NamedSharding(mesh, P()))
+    np.testing.assert_allclose(np.asarray(op.unpad_vec(y2)), y_want, rtol=1e-13)
+    np.testing.assert_allclose(float(dot), dot_want, rtol=1e-12)
+
+
+def test_dist_minres_fused_orth_matches_single_chip():
+    """Distributed MINRES takes the fused orth_norm/dotmv path (DistPaddedDIA
+    now mirrors PaddedDIA's kernels) and matches the single-chip solve."""
+    A = problems.poisson3d(10, 10, 10, dtype=np.float64)
+    dia = A.to_dia()
+    op = DistPaddedDIA.from_dia(dia, 8, lanes=256, block_rows=8)
+    assert hasattr(op, "orth_norm")
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(1000)
+
+    x_d, info_d = distributed_solve(
+        sp.minres, op, jnp.asarray(b), tol=1e-10, max_iter=400
+    )
+    info_d.raise_if_error()
+    r = np.asarray(A.matvec(x_d)) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+    # single-chip oracle on the same operator family
+    x_s, info_s = sp.minres(A.to_dia(), jnp.asarray(b), tol=1e-10, max_iter=400)
+    info_s.raise_if_error()
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= max(
+        3, int(info_s.iterations) // 10
+    )
+
+
 def test_halo_too_wide_rejected():
     A = problems.poisson3d(12, 12, 12, dtype=np.float64)
     with pytest.raises(ValueError):
