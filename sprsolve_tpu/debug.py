@@ -32,6 +32,7 @@ def _clear_kernel_caches():
         ps._dia_pallas_call,
         ps._dia_dotmv_pallas_call,
         ps._dia_complex_pallas_call,
+        ps._dia_complex_dotmv_pallas_call,
         pf.fused_mz_call,
         pf.fused_orth_norm_call,
     ):

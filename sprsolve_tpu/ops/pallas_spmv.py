@@ -123,6 +123,69 @@ def _dia_complex_kernel(
     yi_ref[:, :] = ri + ir
 
 
+def _dia_complex_dot_kernel(
+    bre_ref, bim_ref, xr_ref, xi_ref, yr_ref, yi_ref, part_ref,
+    *, offsets, hr, lanes,
+):
+    """Complex SpMV + per-block partials of conj(x)·(A·x) in one pass.
+
+    dot = Σ conj(x)·y = Σ (xr·yr + xi·yi) + i·(xr·yi − xi·yr); the two real
+    partials are accumulated per grid step into disjoint SMEM slots while x
+    and y are in VMEM — the two-plane mkl_sparse_?_dotmv analog
+    (``src/mkl_mat.rs:242-319``)."""
+    br = yr_ref.shape[0]
+    kw = dict(offsets=offsets, hr=hr, lanes=lanes, br=br, dtype=yr_ref.dtype)
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+    yr = _band_accumulate(bre_ref, xr, **kw) - _band_accumulate(bim_ref, xi, **kw)
+    yi = _band_accumulate(bre_ref, xi, **kw) + _band_accumulate(bim_ref, xr, **kw)
+    yr_ref[:, :] = yr
+    yi_ref[:, :] = yi
+    xr_b = xr_ref[hr : hr + br, :]
+    xi_b = xi_ref[hr : hr + br, :]
+    i = pl.program_id(0)
+    part_ref[i, 0] = jnp.sum(xr_b * yr + xi_b * yi)
+    part_ref[i, 1] = jnp.sum(xr_b * yi - xi_b * yr)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
+def _dia_complex_dotmv_pallas_call(
+    bre3, bim3, xr2, xi2, offsets, hr, lanes, block_rows
+):
+    d, r_pad, _ = bre3.shape
+    grid = (r_pad // block_rows,)
+    bspec = pl.BlockSpec(
+        (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    win = pl.BlockSpec(
+        (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
+        lambda i: (i * block_rows, 0),
+        memory_space=pltpu.VMEM,
+    )
+    body = pl.BlockSpec(
+        (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    yr, yi, parts = _pallas_call(
+        functools.partial(
+            _dia_complex_dot_kernel, offsets=offsets, hr=hr, lanes=lanes
+        ),
+        grid=grid,
+        in_specs=[bspec, bspec, win, win],
+        out_specs=(
+            body,
+            body,
+            pl.BlockSpec((grid[0], 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), xr2.dtype),
+            jax.ShapeDtypeStruct((r_pad, lanes), xr2.dtype),
+            jax.ShapeDtypeStruct((grid[0], 2), xr2.dtype),
+        ),
+    )(bre3, bim3, xr2, xi2)
+    sums = jnp.sum(parts, axis=0)
+    return yr, yi, sums[0], sums[1]
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
 def _dia_complex_pallas_call(bre3, bim3, xr2, xi2, offsets, hr, lanes, block_rows):
     d, r_pad, _ = bre3.shape
@@ -455,10 +518,19 @@ class ComplexPaddedDIA:
         return (yr + 1j * yi).astype(x2.dtype)
 
     def matvec_dot(self, x2: jax.Array):
-        from ..vecalg import conj_dot
-
-        y = self.matvec(x2)
-        return y, conj_dot(x2, y)
+        """Fused two-plane SpMV + conj(x)·(A·x): the dot partials are taken
+        in-kernel while both planes are in VMEM (no extra HBM pass), unlike
+        composing matvec with a separate conj_dot."""
+        p = self.re
+        yr_body, yi_body, dre, dim = _dia_complex_dotmv_pallas_call(
+            p.bands3, self.im.bands3, jnp.real(x2), jnp.imag(x2),
+            p.offsets, p.hr, p.lanes, p.block_rows,
+        )
+        halo = jnp.zeros((p.hr, p.lanes), dtype=yr_body.dtype)
+        yr = jnp.concatenate([halo, yr_body, halo], axis=0)
+        yi = jnp.concatenate([halo, yi_body, halo], axis=0)
+        y = (yr + 1j * yi).astype(x2.dtype)
+        return y, (dre + 1j * dim).astype(x2.dtype)
 
     def diagonal_padded(self) -> jax.Array:
         return self.re.diagonal_padded() + 1j * self.im.diagonal_padded()

@@ -99,6 +99,27 @@ def test_complex_padded_dia_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_complex_padded_dia_fused_dotmv():
+    """The fused two-plane dotmv kernel matches matvec + conj_dot composed."""
+    from sprsolve_tpu.vecalg import conj_dot
+
+    A, rhs = problems.hermitian_grid((8, 8), dtype=np.complex64)
+    op = sp.ComplexPaddedDIA.from_dia(A.to_dia())
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(
+        (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+            np.complex64
+        )
+    )
+    x2 = op.pad_vec(x)
+    y, dot = op.matvec_dot(x2)
+    np.testing.assert_allclose(
+        np.asarray(op.unpad_vec(y)), np.asarray(A.matvec(x)), rtol=2e-5, atol=2e-5
+    )
+    want_dot = complex(conj_dot(x2, op.matvec(x2)))
+    assert abs(complex(dot) - want_dot) <= 1e-4 * max(1.0, abs(want_dot))
+
+
 def test_complex_solve_via_pallas_layout():
     """CS-MINRES on the complex-symmetric system entirely in kernel layout
     (c64 — the kernel dtype; c128 fidelity uses the XLA path)."""
