@@ -133,6 +133,182 @@ def fused_mz_call(bands3, xin2, dinv2, aux2, offsets, hr, lanes, block_rows, dot
     return z, t, sums[0], sums[1]
 
 
+# --------------------------------------------------------------------------
+# Three-kernel BiCGStab step (round-2 redesign).
+#
+# The round-1 fused path (fused_mz_call) still ran five standalone XLA
+# passes per iteration (ρ dot, p-update, s-update, x-update, r-update+norm).
+# The redesign folds the *entire* iteration into three kernels — the minimum
+# cut, since the two global reductions (α's r0·v and ω's tt/ts) are barriers:
+#
+#   K_P: p = r + β·(p − ω·v) on the window; v' = A·p; partial r0·v'
+#   K_S: s = r − α·v on the window;          t  = A·s; partials t·t, t·s
+#   K_T: x' = x − α·dinv⊙p − ω·dinv⊙s; r' = s − ω·t;  partials ‖r'‖², r0·r'
+#
+# The Jacobi preconditioner is folded into the bands at operator build time
+# (right preconditioning: A″ = A·D⁻¹, band d scaled by dinv shifted by its
+# offset), so no dinv window is ever read in the SpMV kernels and y/z are
+# never materialized; K_T reconstructs the x-direction vectors dinv⊙p and
+# dinv⊙s from body-only reads.  ρ for the *next* iteration comes out of K_T,
+# eliminating the top-of-loop dot.
+# --------------------------------------------------------------------------
+
+
+def _fused_p_kernel(
+    bands_ref, r_ref, p_ref, v_ref, r0_ref, beta_ref, omega_ref,
+    p_out, v_out, part_ref, *, offsets, hr, lanes,
+):
+    """K_P: p-update on the window, SpMV, r0·v partial in one pass."""
+    br = p_out.shape[0]
+    beta = beta_ref[0, 0]
+    omega = omega_ref[0, 0]
+    p_win = r_ref[:, :] + beta * (p_ref[:, :] - omega * v_ref[:, :])
+    acc = _band_accumulate(
+        bands_ref, p_win, offsets=offsets, hr=hr, lanes=lanes,
+        br=br, dtype=p_out.dtype,
+    )
+    p_out[:, :] = p_win[hr : hr + br, :]
+    v_out[:, :] = acc
+    part_ref[pl.program_id(0), 0] = jnp.sum(r0_ref[:, :] * acc)
+
+
+def _fused_s_kernel(
+    bands_ref, r_ref, v_ref, alpha_ref, t_out, part_ref, *, offsets, hr, lanes
+):
+    """K_S: s-update on the window, SpMV, t·t and t·s partials in one pass."""
+    br = t_out.shape[0]
+    alpha = alpha_ref[0, 0]
+    s_win = r_ref[:, :] - alpha * v_ref[:, :]
+    acc = _band_accumulate(
+        bands_ref, s_win, offsets=offsets, hr=hr, lanes=lanes,
+        br=br, dtype=t_out.dtype,
+    )
+    t_out[:, :] = acc
+    i = pl.program_id(0)
+    part_ref[i, 0] = jnp.sum(acc * acc)
+    part_ref[i, 1] = jnp.sum(acc * s_win[hr : hr + br, :])
+
+
+def _fused_tail_kernel(
+    x_ref, p_ref, r_ref, v_ref, t_ref, dinv_ref, r0_ref,
+    alpha_ref, omega_ref, x_out, r_out, part_ref, *, hr,
+):
+    """K_T: x/r updates + the two next-iteration reductions.
+
+    p/r/v arrive as the same padded-layout windows the SpMV kernels consume
+    (their body rows are sliced in-kernel); x/t/dinv/r0 are body blocks."""
+    br = x_out.shape[0]
+    alpha = alpha_ref[0, 0]
+    omega = omega_ref[0, 0]
+    s = r_ref[hr : hr + br, :] - alpha * v_ref[hr : hr + br, :]
+    dinv = dinv_ref[:, :]
+    x_out[:, :] = (
+        x_ref[:, :] - alpha * (dinv * p_ref[hr : hr + br, :]) - omega * (dinv * s)
+    )
+    rn = s - omega * t_ref[:, :]
+    r_out[:, :] = rn
+    i = pl.program_id(0)
+    part_ref[i, 0] = jnp.sum(rn * rn)
+    part_ref[i, 1] = jnp.sum(r0_ref[:, :] * rn)
+
+
+def _win_body_specs(hr, lanes, block_rows):
+    win = pl.BlockSpec(
+        (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
+        lambda i: (i * block_rows, 0),
+        memory_space=pltpu.VMEM,
+    )
+    body = pl.BlockSpec(
+        (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    scal = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return win, body, scal
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows")
+)
+def fused_p_call(bands3, r2, p2, v2, r0b, beta, omega, offsets, hr, lanes, block_rows):
+    """K_P. r2/p2/v2 are full padded-layout; r0b is body-only (r_pad, lanes).
+    Returns (p_body, v_body, r0v_partial_sum)."""
+    d, r_pad, _ = bands3.shape
+    grid = (r_pad // block_rows,)
+    win, body, scal = _win_body_specs(hr, lanes, block_rows)
+    bspec = pl.BlockSpec(
+        (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    p_b, v_b, parts = _pallas_call(
+        functools.partial(_fused_p_kernel, offsets=offsets, hr=hr, lanes=lanes),
+        grid=grid,
+        in_specs=[bspec, win, win, win, body, scal, scal],
+        out_specs=(
+            body,
+            body,
+            pl.BlockSpec((grid[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), r2.dtype),
+            jax.ShapeDtypeStruct((r_pad, lanes), r2.dtype),
+            jax.ShapeDtypeStruct((grid[0], 1), r2.dtype),
+        ),
+    )(bands3, r2, p2, v2, r0b, beta.reshape(1, 1), omega.reshape(1, 1))
+    return p_b, v_b, jnp.sum(parts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows")
+)
+def fused_s_call(bands3, r2, v2, alpha, offsets, hr, lanes, block_rows):
+    """K_S. Returns (t_body, tt, ts)."""
+    d, r_pad, _ = bands3.shape
+    grid = (r_pad // block_rows,)
+    win, body, scal = _win_body_specs(hr, lanes, block_rows)
+    bspec = pl.BlockSpec(
+        (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    t_b, parts = _pallas_call(
+        functools.partial(_fused_s_kernel, offsets=offsets, hr=hr, lanes=lanes),
+        grid=grid,
+        in_specs=[bspec, win, win, scal],
+        out_specs=(
+            body,
+            pl.BlockSpec((grid[0], 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), r2.dtype),
+            jax.ShapeDtypeStruct((grid[0], 2), r2.dtype),
+        ),
+    )(bands3, r2, v2, alpha.reshape(1, 1))
+    sums = jnp.sum(parts, axis=0)
+    return t_b, sums[0], sums[1]
+
+
+@functools.partial(jax.jit, static_argnames=("hr", "block_rows"))
+def fused_tail_call(xb, p2, r2, v2, tb, dinvb, r0b, alpha, omega, hr, block_rows):
+    """K_T. xb/tb/dinvb/r0b are body (r_pad, lanes); p2/r2/v2 are full
+    padded layout. Returns (x_body, r_body, rnorm2, rho_next)."""
+    r_pad, lanes = xb.shape
+    grid = (r_pad // block_rows,)
+    win, body, scal = _win_body_specs(hr, lanes, block_rows)
+    x_b, r_b, parts = _pallas_call(
+        functools.partial(_fused_tail_kernel, hr=hr),
+        grid=grid,
+        in_specs=[body, win, win, win, body, body, body, scal, scal],
+        out_specs=(
+            body,
+            body,
+            pl.BlockSpec((grid[0], 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), xb.dtype),
+            jax.ShapeDtypeStruct((r_pad, lanes), xb.dtype),
+            jax.ShapeDtypeStruct((grid[0], 2), xb.dtype),
+        ),
+    )(xb, p2, r2, v2, tb, dinvb, r0b, alpha.reshape(1, 1), omega.reshape(1, 1))
+    sums = jnp.sum(parts, axis=0)
+    return x_b, r_b, sums[0], sums[1]
+
+
 def _orth_norm_kernel(
     a_ref, vold_ref, v_ref, beta_ref, alpha_ref, out_ref, part_ref, *, hr
 ):
