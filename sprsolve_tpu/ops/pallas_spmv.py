@@ -70,8 +70,11 @@ def _band_accumulate(bands_ref, window, *, offsets, hr, lanes, br, dtype):
             shifted = window[q : q + br, :]
         else:
             # shifted[j, l] = window[q + j + (l + r >= lanes), (l + r) % lanes]
-            same = pltpu.roll(window[q : q + br, :], lanes - r, 1)
-            nxt = pltpu.roll(window[q + 1 : q + br + 1, :], lanes - r, 1)
+            # (int32 shift: tpu.dynamic_rotate has no i64 operand form, and a
+            # bare Python int traces as i64 when the caller enabled x64)
+            sh = np.int32(lanes - r)
+            same = pltpu.roll(window[q : q + br, :], sh, 1)
+            nxt = pltpu.roll(window[q + 1 : q + br + 1, :], sh, 1)
             shifted = jnp.where(lane < lanes - r, same, nxt)
         acc = acc + bands_ref[d] * shifted
     return acc

@@ -76,6 +76,7 @@ def bicgstab_fused(
     tol,
     max_iter,
     record_residuals: bool = False,
+    xla_tail: bool = True,
 ):
     """Solve A·x = b (padded 2-D layout throughout). Returns ``(x2, SolveInfo)``
     (plus the per-iteration relative-residual trace with
@@ -130,12 +131,25 @@ def bicgstab_fused(
             bands_p, r_f, v_f, jnp.asarray(alpha, T), A.offsets, hr, lanes, br
         )
 
-    def K_T(xb, p_f, r_f, v_f, tb, r0b, alpha, omega):
+    def K_T_pallas(xb, p_f, r_f, v_f, tb, r0b, alpha, omega):
         xb, rb, rn2, rho = fused_tail_call(
             xb, p_f, r_f, v_f, tb, dinv_b, r0b,
             jnp.asarray(alpha, T), jnp.asarray(omega, T), hr, br,
         )
         return xb, with_halo(rb), rn2, rho
+
+    def K_T_xla(xb, p_f, r_f, v_f, tb, r0b, alpha, omega):
+        # identical math as the Pallas tail, expressed as jnp ops so XLA
+        # multi-output-fuses it with its reductions (measured faster than the
+        # 9-operand Pallas tail kernel: windows amplify its reads ~1.3×)
+        s = body_of(r_f) - alpha * body_of(v_f)
+        xb = xb - alpha * (dinv_b * body_of(p_f)) - omega * (dinv_b * s)
+        rn = s - omega * tb
+        rn2 = jnp.sum(rn * rn)
+        rho = jnp.sum(r0b * rn)
+        return xb, with_halo(rn), rn2, rho
+
+    K_T = K_T_xla if xla_tail else K_T_pallas
 
     def main(rhs_norm):
         tol2 = tol * rhs_norm
