@@ -203,7 +203,6 @@ def main():
     # this tunnel is ~30 ms, so totals are reported as n·t_iter).
     rhs = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
-    from sprsolve_tpu.solvers import bicgstab_fused
 
     pdia_s = PaddedDIA.from_dia(dia)
     b2s = jax.block_until_ready(pdia_s.pad_vec(rhs))
@@ -223,14 +222,9 @@ def main():
                 lambda: sp.bicgstab(pdia_s, b2s, M=M_pal, tol=tol, max_iter=mi)
             ),
         ),
-        (
-            "bicgstab (fused kernels)",
-            lambda mi, tol: jax.jit(
-                lambda: bicgstab_fused(
-                    pdia_s, b2s, diag_inv2=M_pal.diag_inv, tol=tol, max_iter=mi
-                )
-            ),
-        ),
+        # (fused-step BiCGStab kernels measured slower than XLA's loop-body
+        # fusion — 157/193 vs 154 us/iter — and were removed; the winning
+        # fusions, dotmv and orth_norm, live in the operators and MINRES)
         (
             "minres (pallas fused dotmv)",
             lambda mi, tol: jax.jit(

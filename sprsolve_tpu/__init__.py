@@ -24,7 +24,6 @@ from .solvers import (
     MulticolorGSPrecond,
     color_masks,
     bicgstab,
-    bicgstab_fused,
     cs_minres,
     gauss_seidel,
     gauss_seidel_redblack,
@@ -43,7 +42,6 @@ __all__ = [
     "CSMinRes",
     "GaussSeidel",
     "bicgstab",
-    "bicgstab_fused",
     "minres",
     "cs_minres",
     "with_real_planes",

@@ -33,10 +33,6 @@ def _clear_kernel_caches():
         ps._dia_dotmv_pallas_call,
         ps._dia_complex_pallas_call,
         ps._dia_complex_dotmv_pallas_call,
-        pf.fused_mz_call,
-        pf.fused_p_call,
-        pf.fused_s_call,
-        pf.fused_tail_call,
         pf.fused_orth_norm_call,
     ):
         f.clear_cache()

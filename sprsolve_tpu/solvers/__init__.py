@@ -3,7 +3,6 @@
 ``lax.while_loop`` state pytree."""
 
 from .bicgstab import bicgstab
-from .bicgstab_fused import bicgstab_fused
 from .minres import minres
 from .planes import with_real_planes
 from .cs_minres import cs_minres
@@ -19,7 +18,6 @@ from .redblack import (
 
 __all__ = [
     "bicgstab",
-    "bicgstab_fused",
     "minres",
     "with_real_planes",
     "cs_minres",

@@ -11,6 +11,11 @@ Sections (ordered so a timeout still yields the key numbers):
   D. BSR block-matvec rate at modest scale (VERDICT #1 bake-off).
 
 Run: timeout 1800 python -u tools/probe_r2.py
+
+HISTORICAL (round 2): the G section measured bicgstab_fused, which lost to
+the XLA path (193 vs 154 us/iter) and was subsequently deleted — G now
+fails by design; D/E/F sections remain runnable. Results are summarized in
+BENCH_NOTES.md.
 """
 
 import sys
