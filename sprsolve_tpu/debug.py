@@ -27,15 +27,14 @@ def _clear_kernel_caches():
     silently run compiled inside / interpreted outside the context)."""
     from .ops import pallas_fused as pf
     from .ops import pallas_spmv as ps
-    from .sparse import bsr as _bsr
 
     for f in (
         ps._dia_pallas_call,
         ps._dia_dotmv_pallas_call,
+        ps._dia_wdot_pallas_call,
         ps._dia_complex_pallas_call,
         ps._dia_complex_dotmv_pallas_call,
         pf.fused_orth_norm_call,
-        _bsr._bsr_pallas_matvec,
     ):
         f.clear_cache()
 

@@ -34,6 +34,34 @@ class LinearOperator(Protocol):
         ...
 
 
+def mv_wdot(A, x: jax.Array, w: jax.Array, axis_name=None):
+    """(y = A·x, conj(w)·y) with the dot folded into the SpMV pass when the
+    operator provides ``matvec_wdot`` (the w-vector analog of dotmv). The
+    fused form returns *local* partials; ``axis_name`` makes the result
+    collective, matching :func:`~sprsolve_tpu.vecalg.conj_dot`."""
+    from ..vecalg import _psum_if, conj_dot
+
+    fn = getattr(A, "matvec_wdot", None)
+    if fn is not None:
+        y, wd, _ = fn(x, w)
+        return y, _psum_if(wd, axis_name)
+    y = A.matvec(x)
+    return y, conj_dot(w, y, axis_name)
+
+
+def mv_wdot2(A, x: jax.Array, w: jax.Array, axis_name=None):
+    """(y = A·x, conj(w)·y, conj(y)·y) — both of BiCGStab's post-SpMV
+    reductions in the SpMV pass where the operator supports it."""
+    from ..vecalg import _psum_if, conj_dot
+
+    fn = getattr(A, "matvec_wdot", None)
+    if fn is not None:
+        y, wd, yd = fn(x, w)
+        return y, _psum_if(wd, axis_name), _psum_if(yd, axis_name)
+    y = A.matvec(x)
+    return y, conj_dot(w, y, axis_name), conj_dot(y, y, axis_name)
+
+
 @dataclasses.dataclass(frozen=True)
 class IdentityOperator:
     n: int

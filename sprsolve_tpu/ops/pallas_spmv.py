@@ -76,7 +76,13 @@ def _band_accumulate(bands_ref, window, *, offsets, hr, lanes, br, dtype):
             same = pltpu.roll(window[q : q + br, :], sh, 1)
             nxt = pltpu.roll(window[q + 1 : q + br + 1, :], sh, 1)
             shifted = jnp.where(lane < lanes - r, same, nxt)
-        acc = acc + bands_ref[d] * shifted
+        band = bands_ref[d]
+        if band.dtype != dtype:
+            # narrow exact band storage (int8/bf16): widen in VMEM — the
+            # HBM→VMEM stream carries the narrow bytes, the FMA runs in the
+            # vector dtype, bit-identical because narrowing was lossless
+            band = band.astype(dtype)
+        acc = acc + band * shifted
     return acc
 
 
@@ -106,6 +112,60 @@ def _dia_dot_kernel(bands_ref, x_ref, y_ref, dot_ref, *, offsets, hr, lanes):
     # this block's rows of x sit at window offset hr (x is in VMEM already —
     # the dot costs no extra HBM traffic, exactly like mkl_sparse_?_dotmv)
     dot_ref[pl.program_id(0), 0] = jnp.sum(x_ref[hr : hr + br, :] * acc)
+
+
+def _dia_wdot_kernel(bands_ref, x_ref, w_ref, y_ref, part_ref, *, offsets, hr, lanes):
+    """SpMV block + per-block partials of wᵀ·(A·x) *and* (A·x)ᵀ·(A·x).
+
+    BiCGStab's two reduction barriers are dots against a vector *other than*
+    the SpMV input (r0·v after v = A·y, and t·s / t·t after t = A·z), so the
+    plain dotmv form doesn't apply. This kernel takes the extra vector w as a
+    window operand and emits both partials while y is still in VMEM — one w
+    read (~1 stream) replaces a separate two-stream reduction pass per SpMV.
+    Real dtypes only (the solvers' complex path composes unfused)."""
+    br = y_ref.shape[0]
+    acc = _band_accumulate(
+        bands_ref, x_ref[:, :], offsets=offsets, hr=hr, lanes=lanes,
+        br=br, dtype=y_ref.dtype,
+    )
+    y_ref[:, :] = acc
+    i = pl.program_id(0)
+    part_ref[i, 0] = jnp.sum(w_ref[hr : hr + br, :] * acc)
+    part_ref[i, 1] = jnp.sum(acc * acc)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
+def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows):
+    d, r_pad, _ = bands3.shape
+    grid = (r_pad // block_rows,)
+    win = pl.BlockSpec(
+        (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
+        lambda i: (i * block_rows, 0),
+        memory_space=pltpu.VMEM,
+    )
+    y, partials = _pallas_call(
+        functools.partial(_dia_wdot_kernel, offsets=offsets, hr=hr, lanes=lanes),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            win,
+            win,
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((grid[0], 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
+            jax.ShapeDtypeStruct((grid[0], 2), x2.dtype),
+        ),
+    )(bands3, x2, w2)
+    sums = jnp.sum(partials, axis=0)
+    return y, sums[0], sums[1]
 
 
 def _dia_complex_kernel(
@@ -291,25 +351,51 @@ class PaddedDIA:
     preserved by all of them.
     """
 
-    bands3: jax.Array
+    bands3: jax.Array         # possibly narrow storage — see ``vdtype``
     offsets: Tuple[int, ...]
     n: int                    # logical length
     hr: int                   # halo rows on each side
     shape: Tuple[int, int]
     lanes: int = LANES
     block_rows: int = BLOCK_ROWS
+    vdtype: str = "float32"   # compute dtype; bands3 may be stored narrower
 
     @property
     def dtype(self):
-        return self.bands3.dtype
+        return jnp.dtype(self.vdtype)
 
     @property
     def r_pad(self) -> int:
         return self.bands3.shape[1]
 
     @staticmethod
+    def _narrow_bands(bands3: np.ndarray) -> np.ndarray:
+        """Narrowest storage that represents every band value EXACTLY.
+
+        Band traffic dominates a stencil SpMV (D of the D+2 streams);
+        stencil/FEM matrices routinely have small-integer or low-precision
+        coefficients, so storing them as int8 (4×) or bfloat16 (2×) and
+        widening in VMEM cuts the kernel's HBM bytes with bit-identical
+        results. Never lossy: any band set that doesn't round-trip stays f32.
+        """
+        if bands3.dtype != np.float32 or bands3.size == 0:
+            return bands3
+        amax = float(np.abs(bands3).max()) if bands3.size else 0.0
+        if amax <= 127 and np.all(bands3 == np.round(bands3)):
+            return bands3.astype(np.int8)
+        import ml_dtypes
+
+        bf = bands3.astype(ml_dtypes.bfloat16)
+        if np.array_equal(np.asarray(bf, dtype=np.float32), bands3):
+            return bf
+        return bands3
+
+    @staticmethod
     def from_dia(
-        m: DIA, lanes: int = LANES, block_rows: int = BLOCK_ROWS
+        m: DIA,
+        lanes: int = LANES,
+        block_rows: int = BLOCK_ROWS,
+        narrow: bool = True,
     ) -> "PaddedDIA":
         n = m.shape[0]
         h = max((abs(o) for o in m.offsets), default=0)
@@ -323,6 +409,8 @@ class PaddedDIA:
         bands3 = np.pad(bands, ((0, 0), (0, pad))).reshape(
             bands.shape[0], r_pad, lanes
         )
+        if narrow:
+            bands3 = PaddedDIA._narrow_bands(bands3)
         return PaddedDIA(
             bands3=jnp.asarray(bands3),
             offsets=m.offsets,
@@ -331,6 +419,7 @@ class PaddedDIA:
             shape=m.shape,
             lanes=lanes,
             block_rows=block_rows,
+            vdtype=str(np.asarray(m.bands).dtype),
         )
 
     # --- padded-layout vector helpers -------------------------------------
@@ -382,9 +471,28 @@ class PaddedDIA:
         y = jnp.concatenate([halo, y_body, halo], axis=0)
         return y, dot[0, 0]
 
+    def matvec_wdot(self, x2: jax.Array, w2: jax.Array):
+        """Fused SpMV + dots against a *different* vector w: returns
+        (A·x, conj(w)·(A·x), conj(A·x)·(A·x)) with both reductions taken
+        while the output block is in VMEM. Covers BiCGStab's r0·v and
+        t·s / t·t barriers (``src/bicg_stab.rs:128,163,178,183``), which the
+        dotmv form cannot. Real dtypes only."""
+        if jnp.iscomplexobj(x2) or jnp.iscomplexobj(self.bands3):
+            from ..vecalg import conj_dot
+
+            y = self.matvec(x2)
+            return y, conj_dot(w2, y), conj_dot(y, y)
+        y_body, wd, yd = _dia_wdot_pallas_call(
+            self.bands3, x2, w2, self.offsets, self.hr, self.lanes,
+            self.block_rows,
+        )
+        halo = jnp.zeros((self.hr, self.lanes), dtype=x2.dtype)
+        y = jnp.concatenate([halo, y_body, halo], axis=0)
+        return y, wd, yd
+
     def diagonal_padded(self) -> jax.Array:
         if 0 in self.offsets:
-            body = self.bands3[self.offsets.index(0)]
+            body = self.bands3[self.offsets.index(0)].astype(self.dtype)
         else:
             body = jnp.zeros((self.r_pad, self.lanes), self.dtype)
         halo = jnp.zeros((self.hr, self.lanes), dtype=self.dtype)
@@ -436,7 +544,7 @@ class PaddedDIA:
 jax.tree_util.register_dataclass(
     PaddedDIA,
     data_fields=("bands3",),
-    meta_fields=("offsets", "n", "hr", "shape", "lanes", "block_rows"),
+    meta_fields=("offsets", "n", "hr", "shape", "lanes", "block_rows", "vdtype"),
 )
 
 

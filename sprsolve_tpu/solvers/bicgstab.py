@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..errors import SolveInfo, Status
-from ..ops.operator import IdentityOperator
+from ..ops.operator import IdentityOperator, mv_wdot, mv_wdot2
 from ..vecalg import axpby, axpy, conj_dot, eps_for, norm2
 from .common import check_shapes, make_info
 
@@ -55,7 +55,9 @@ class _State(NamedTuple):
     r0: jax.Array
     p: jax.Array
     v: jax.Array
-    rho: jax.Array          # T scalar
+    rho: jax.Array          # T scalar: ρ of the iteration just completed
+    rho_next: jax.Array     # T scalar: conj(r0)·r of the carried vectors —
+                            # computed at the tail, fused with ‖r‖ (one pass)
     alpha: jax.Array        # T scalar
     w: jax.Array            # T scalar
     r0_norm_tol: jax.Array  # real scalar, already squared (src/bicg_stab.rs:84-85)
@@ -127,15 +129,19 @@ def bicgstab(
             rho = (r0_norm * r0_norm).astype(T)
             p = r
             y = M.matvec(p)
-            v = A.matvec(y)
-            alpha = rho / conj_dot(r0, v, axis_name)
+            # v = A·y with conj(r0)·v taken inside the SpMV pass (the dots
+            # BiCGStab needs are against r0/s, not the SpMV input, so the
+            # dotmv form doesn't apply — mv_wdot is the w-vector variant)
+            v, r0v = mv_wdot(A, y, r0, axis_name)
+            alpha = rho / r0v
             s = axpy(-alpha, v, r)          # r ← r − α·v (now the algorithm's s)
             z = M.matvec(s)
-            t = A.matvec(z)
-            tt = conj_dot(t, t, axis_name)
+            t, st_, tt = mv_wdot2(A, z, s, axis_name)
+            # conj_dot(t, s) = conj(conj_dot(s, t)) — identical arithmetic,
+            # but st_ rides inside the SpMV pass (src/bicg_stab.rs:108-113)
             w = jnp.where(
                 jnp.real(tt) > 0,
-                conj_dot(t, s, axis_name) / tt,
+                jnp.conj(st_) / tt,
                 jnp.zeros((), T),
             )
             x = axpy(-alpha, y, x0)
@@ -147,7 +153,11 @@ def bicgstab(
                 hist0 = hist0.at[0].set(r0_norm / rhs_norm)
             st = _State(
                 x=x, r=r_new, r0=r0, p=p, v=v,
-                rho=rho, alpha=alpha, w=w, r0_norm_tol=r0_norm_tol,
+                rho=rho,
+                # next ρ at the tail: XLA fuses it with the ‖r‖ reduction into
+                # one pass over (r_new, r0) instead of a fresh top-of-body pass
+                rho_next=conj_dot(r0, r_new, axis_name),
+                alpha=alpha, w=w, r0_norm_tol=r0_norm_tol,
                 r_norm=norm2(r_new, axis_name),
                 its=jnp.int32(1), status=jnp.int32(Status.RUNNING),
                 res=jnp.zeros((), rdt), hist=hist0,
@@ -174,7 +184,9 @@ def bicgstab(
 
                 def step(s_):
                     rho_old = s_.rho
-                    rho = conj_dot(s_.r0, s_.r, axis_name)
+                    # ρ = conj(r0)·r was computed at the previous tail, fused
+                    # with the ‖r‖ pass (identical value, one fewer pass here)
+                    rho = s_.rho_next
 
                     # ρ-breakdown restart (src/bicg_stab.rs:131-145):
                     # recompute r from scratch, reset the shadow residual r0.
@@ -199,44 +211,47 @@ def bicgstab(
                     p = axpy(jnp.ones((), T), r_, p)
 
                     y = M.matvec(p)
-                    v = A.matvec(y)
-                    r0v = conj_dot(r0_, v, axis_name)
+                    v, r0v = mv_wdot(A, y, r0_, axis_name)
 
-                    def breakdown(s_):
-                        return s_._replace(
-                            r=r_, r0=r0_, p=p, v=v, rho=rho,
-                            r0_norm_tol=r0_norm_tol,
-                            status=jnp.int32(Status.BREAKDOWN),
-                            res=r_norm / rhs_norm,
-                        )
-
-                    def advance(s_):
-                        alpha = rho / r0v
-                        sres = axpy(-alpha, v, r_)   # s
-                        z = M.matvec(sres)
-                        t = A.matvec(z)
-                        tt = conj_dot(t, t, axis_name)
-                        w = jnp.where(
-                            jnp.real(tt) > 0,
-                            conj_dot(t, sres, axis_name) / tt,
-                            jnp.zeros((), T),
-                        )
-                        x = axpy(-alpha, y, s_.x)
-                        x = axpy(-w, z, x)
-                        r_new = axpy(-w, t, sres)
-                        return _State(
-                            x=x, r=r_new, r0=r0_, p=p, v=v,
-                            rho=rho, alpha=alpha, w=w,
-                            r0_norm_tol=r0_norm_tol,
-                            r_norm=norm2(r_new, axis_name),
-                            its=s_.its + 1,
-                            status=s_.status,
-                            res=s_.res,
-                            hist=s_.hist,
-                        )
-
-                    # breakdown exit: |r0·v| ≤ 0 (src/bicg_stab.rs:164-167)
-                    return lax.cond(jnp.abs(r0v) <= 0, breakdown, advance, s_)
+                    # breakdown exit |r0·v| ≤ 0 (src/bicg_stab.rs:164-167) as
+                    # predicated arithmetic, not a lax.cond: a vector-carrying
+                    # cond in the body costs ~40% of the loop (see cond_fn
+                    # note); breakdown is terminal and rare, so compute the
+                    # full advance with a guarded divisor and keep the
+                    # previous x/count via scalar-predicate selects (XLA fuses
+                    # them into the producing passes). Bitwise identical to
+                    # the branch form whenever no breakdown occurs.
+                    ok = jnp.abs(r0v) > 0
+                    alpha = rho / jnp.where(ok, r0v, jnp.ones((), T))
+                    sres = axpy(-alpha, v, r_)   # s
+                    z = M.matvec(sres)
+                    t, st_, tt = mv_wdot2(A, z, sres, axis_name)
+                    w = jnp.where(
+                        jnp.real(tt) > 0,
+                        jnp.conj(st_) / tt,
+                        jnp.zeros((), T),
+                    )
+                    x = axpy(-alpha, y, s_.x)
+                    x = axpy(-w, z, x)
+                    r_new = axpy(-w, t, sres)
+                    return _State(
+                        # on breakdown the reference leaves x at the previous
+                        # iterate (the error return precedes the x-update)
+                        x=jnp.where(ok, x, s_.x),
+                        r=r_new, r0=r0_, p=p, v=v,
+                        rho=rho, alpha=alpha, w=w,
+                        rho_next=conj_dot(r0_, r_new, axis_name),
+                        r0_norm_tol=r0_norm_tol,
+                        r_norm=jnp.where(
+                            ok, norm2(r_new, axis_name), s_.r_norm
+                        ),
+                        its=jnp.where(ok, s_.its + 1, s_.its),
+                        status=jnp.where(
+                            ok, s_.status, jnp.int32(Status.BREAKDOWN)
+                        ),
+                        res=jnp.where(ok, s_.res, r_norm / rhs_norm),
+                        hist=s_.hist,
+                    )
 
                 return step(s_)
 

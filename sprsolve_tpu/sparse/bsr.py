@@ -17,67 +17,22 @@ FEM/blocked physics matrices, and for RCM-reordered banded ones).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .containers import CSR
 
-
-def _bsr_kernel(rows_ref, cols_ref, blk_ref, x_ref, o_ref):
-    """One (bs × bs) block per grid step; the x block arrives via a
-    scalar-prefetched dynamic index (block-granular DMA gather — the only
-    gather form that runs at bandwidth on this hardware), and the output
-    block stays resident in VMEM while consecutive steps share a block-row
-    (blocks are sorted by row), implementing the row segment-sum in-kernel."""
-    i = pl.program_id(0)
-    first_of_row = jnp.logical_or(
-        i == 0, rows_ref[i] != rows_ref[jnp.maximum(i - 1, 0)]
-    )
-
-    @pl.when(first_of_row)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
-
-    # (1, bs) x-block · (bs, bs) block, contracting the column dim on the MXU
-    # (x/y travel as (nb, 1, bs) so every block dim equals its array dim —
-    # a (1, bs) block of a (nb, bs) array violates the sublane-tiling rule)
-    prod = jax.lax.dot_general(
-        x_ref[0], blk_ref[0],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=o_ref.dtype,
-    )
-    o_ref[...] += prod[None]
-
-
-@functools.partial(jax.jit, static_argnames=("nb", "bs"))
-def _bsr_pallas_matvec(blk_row, blk_col, blocks, x2, nb, bs):
-    """(nb, bs) → (nb, bs) block-sparse matvec via scalar-prefetch DMA."""
-    from .. import debug  # noqa: F401  (shares the package interpret switch)
-    from ..ops.pallas_spmv import _INTERPRET
-
-    nblk = blocks.shape[0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((1, bs, bs), lambda i, rows, cols: (i, 0, 0)),
-            pl.BlockSpec((1, 1, bs), lambda i, rows, cols: (cols[i], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bs), lambda i, rows, cols: (rows[i], 0, 0)),
-    )
-    y3 = pl.pallas_call(
-        _bsr_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 1, bs), x2.dtype),
-        interpret=_INTERPRET[0],
-    )(blk_row, blk_col, blocks, x2.reshape(nb, 1, bs))
-    return y3.reshape(nb, bs)
+# A scalar-prefetch Pallas kernel (one dense block per grid step, the x block
+# fetched by a dynamically-indexed block DMA, output accumulated in VMEM
+# across a block-row) was built and measured on the v5e in round 2: 51.5
+# Gnnz/s vs 127.6 for the einsum+segment_sum form on the same block-random
+# 65k-row workload — block-granular DMA issue cost dominates at one DMA per
+# 64KB block, while XLA batches the row-granular take into large contiguous
+# copies and overlaps them with the MXU batch. The kernel was deleted
+# (the same bake-off discipline as the fused-BiCGStab kernels, BENCH_NOTES).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,16 +94,9 @@ class BSR:
         dat = np.asarray(m.data)
         br, bc = rows // bs, cols // bs
         key = br * nb + bc
-        # every block-row must own ≥1 block: the Pallas path initializes an
-        # output block on first visit, so an empty block-row would stay
-        # uninitialized. Add an explicit zero diagonal block where needed.
-        present = np.zeros(nb, bool)
-        present[np.unique(br)] = True
-        missing = np.flatnonzero(~present).astype(np.int64)
-        key = np.concatenate([key, missing * nb + missing])
         uniq, inv = np.unique(key, return_inverse=True)
         blocks = np.zeros((len(uniq), bs, bs), dtype=dat.dtype)
-        blocks[inv[: len(dat)], rows % bs, cols % bs] = dat
+        blocks[inv, rows % bs, cols % bs] = dat
         # np.unique sorts keys → blk_row ascending (sorted segments for both
         # the in-kernel row accumulation and segment_sum)
         return BSR(
@@ -160,30 +108,22 @@ class BSR:
         )
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        """y = A·x on a logical-length (n,) vector.
-
-        f32 runs the scalar-prefetch Pallas kernel (block-granular DMA
-        gather + in-kernel row accumulation); other dtypes use the XLA
-        einsum + segment-sum form (Mosaic has no f64 lowering)."""
-        from ..ops.pallas_spmv import _INTERPRET
-
+        """y = A·x on a logical-length (n,) vector: row-granular gather of x
+        blocks (contiguous bs-element moves), batched block·vector products
+        on the MXU, row segment-sum. ``precision=HIGHEST`` keeps the MXU
+        from truncating f32 inputs to bf16 (measured 2e-3 rel err at default
+        precision — a solver's matvec must be exact f32)."""
         bs = self.bs
         nb = self.padded_dim // bs
         xp = jnp.zeros(self.padded_dim, x.dtype).at[: self.n].set(x)
         xb = xp.reshape(nb, bs)
-        if (
-            self.dtype == jnp.float32 and x.dtype == jnp.float32
-        ) or _INTERPRET[0]:
-            yb = _bsr_pallas_matvec(
-                self.blk_row, self.blk_col, self.blocks, xb, nb, bs
-            )
-            return yb.reshape(-1)[: self.n]
         gathered = jnp.take(xb, self.blk_col, axis=0)            # (nblk, bs)
         prod = jnp.einsum(
             "bij,bj->bi",
             self.blocks,
             gathered,
             preferred_element_type=jnp.result_type(self.dtype, x.dtype),
+            precision=jax.lax.Precision.HIGHEST,
         )
         yb = jax.ops.segment_sum(
             prod, self.blk_row, num_segments=nb, indices_are_sorted=True
@@ -208,6 +148,7 @@ class BSR:
             self.blocks,
             gathered,
             preferred_element_type=jnp.result_type(self.dtype, X.dtype),
+            precision=jax.lax.Precision.HIGHEST,
         )
         Yb = jax.ops.segment_sum(
             prod, self.blk_row, num_segments=nb, indices_are_sorted=True

@@ -11,7 +11,11 @@ from sprsolve_tpu.utils import problems
 GOLDEN = {
     "minres_complex": 105,
     "precond_minres_complex": 104,
-    "precond_bicgstab_complex_1": 130,
+    # 130 before the r2 loop restructure (tail-fused ρ changes XLA's CPU
+    # reduction fusion, an ulp-level shift; at tol 1e-22 BiCGStab is near
+    # stagnation so the count is rounding-sensitive — residual and solution
+    # accuracy are asserted unchanged below)
+    "precond_bicgstab_complex_1": 124,
 }
 
 
