@@ -34,8 +34,10 @@ from jax.sharding import PartitionSpec as P
 from ..ops.pallas_spmv import (
     BLOCK_ROWS,
     LANES,
+    PaddedDIA,
     _dia_dotmv_pallas_call,
     _dia_pallas_call,
+    _dia_wdot_pallas_call,
 )
 from ..sparse.containers import DIA
 
@@ -53,10 +55,11 @@ class DistPaddedDIA:
     axis_name: str
     lanes: int = LANES
     block_rows: int = BLOCK_ROWS
+    vdtype: str = "float32"    # compute dtype; bands3 may be stored narrower
 
     @property
     def dtype(self):
-        return self.bands3.dtype
+        return jnp.dtype(self.vdtype)
 
     def pspec(self, axis_name=None) -> "DistPaddedDIA":
         a = axis_name or self.axis_name
@@ -96,6 +99,7 @@ class DistPaddedDIA:
         bands3 = np.pad(bands, ((0, 0), (0, pad))).reshape(
             bands.shape[0], r_total, lanes
         )
+        bands3 = PaddedDIA._narrow_bands(bands3)
         return DistPaddedDIA(
             bands3=jnp.asarray(bands3),
             offsets=m.offsets,
@@ -106,6 +110,7 @@ class DistPaddedDIA:
             axis_name=axis_name,
             lanes=lanes,
             block_rows=block_rows,
+            vdtype=str(np.asarray(m.bands).dtype),
         )
 
     # ---- distributed matvec (inside shard_map) -----------------------------
@@ -156,6 +161,27 @@ class DistPaddedDIA:
         )
         return y, dot[0, 0]
 
+    def matvec_wdot(self, body: jax.Array, w_body: jax.Array):
+        """Fused SpMV + local partials of conj(w)·(A·x) and ‖A·x‖², the
+        distributed mirror of ``PaddedDIA.matvec_wdot`` (BiCGStab's
+        reduction barriers). w needs no halo exchange — the dots only read
+        body rows — so it enters the kernel with zero halo rows; the solver
+        psums the partials over the row axis via ``mv_wdot``'s axis_name."""
+        if self.hr:
+            zh = jnp.zeros((self.hr, self.lanes), w_body.dtype)
+            w_ext = jnp.concatenate([zh, w_body, zh], axis=0)
+        else:
+            w_ext = w_body
+        return _dia_wdot_pallas_call(
+            self.bands3,
+            self._exchange_halo(body),
+            w_ext,
+            self.offsets,
+            self.hr,
+            self.lanes,
+            self.block_rows,
+        )
+
     def orth_norm(self, a, vold, v, beta, alpha):
         """Fused Lanczos orthogonalization + local Σ|v₊|² partial, the
         distributed mirror of ``PaddedDIA.orth_norm``. Vectors here are halo-
@@ -177,7 +203,7 @@ class DistPaddedDIA:
     def diagonal_global(self) -> jax.Array:
         """Global (D·r_local, LANES) diagonal (for preconditioner setup)."""
         if 0 in self.offsets:
-            return self.bands3[self.offsets.index(0)]
+            return self.bands3[self.offsets.index(0)].astype(self.dtype)
         return jnp.zeros(self.bands3.shape[1:], self.dtype)
 
 
@@ -193,5 +219,6 @@ jax.tree_util.register_dataclass(
         "axis_name",
         "lanes",
         "block_rows",
+        "vdtype",
     ),
 )
