@@ -1,0 +1,111 @@
+"""Narrow exact band storage + the fused w-dot kernel (round 2).
+
+Narrowing must be lossless by construction: any band set that does not
+round-trip exactly stays f32, and a narrowed operator must produce
+bit-identical results to the f32-stored one (the kernel widens in VMEM
+before the FMA)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import sprsolve_tpu.ops.pallas_spmv as ps
+from sprsolve_tpu.sparse.containers import DIA
+from sprsolve_tpu.utils import problems
+
+
+def _rand_x(p, n, seed, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    return p.pad_vec(jnp.asarray(rng.standard_normal(n).astype(dtype)))
+
+
+def test_narrow_detection_tiers():
+    A = problems.poisson3d(8, 8, 8, dtype=np.float32)
+    dia = A.to_dia()
+    # integer bands in [-128, 127] → int8
+    assert ps.PaddedDIA.from_dia(dia).bands3.dtype == jnp.int8
+    # 2.5 is exact in bfloat16 but not an integer → bf16
+    b25 = DIA(bands=np.asarray(dia.bands) * np.float32(2.5),
+              offsets=dia.offsets, shape=dia.shape)
+    assert ps.PaddedDIA.from_dia(b25).bands3.dtype == jnp.bfloat16
+    # 1/3 rounds in bf16 → stays f32
+    b3 = DIA(bands=np.asarray(dia.bands) / np.float32(3.0),
+             offsets=dia.offsets, shape=dia.shape)
+    assert ps.PaddedDIA.from_dia(b3).bands3.dtype == jnp.float32
+    # narrow=False opt-out
+    assert ps.PaddedDIA.from_dia(dia, narrow=False).bands3.dtype == jnp.float32
+
+
+def test_narrow_matvec_bit_identical():
+    A = problems.poisson3d(8, 8, 8, dtype=np.float32)
+    dia = A.to_dia()
+    p_narrow = ps.PaddedDIA.from_dia(dia)
+    p_f32 = ps.PaddedDIA.from_dia(dia, narrow=False)
+    assert p_narrow.dtype == jnp.float32  # compute dtype unchanged
+    x2 = _rand_x(p_f32, 512, 0)
+    np.testing.assert_array_equal(
+        np.asarray(p_narrow.matvec(x2)), np.asarray(p_f32.matvec(x2))
+    )
+    y_n, d_n = p_narrow.matvec_dot(x2)
+    y_f, d_f = p_f32.matvec_dot(x2)
+    np.testing.assert_array_equal(np.asarray(y_n), np.asarray(y_f))
+    assert float(d_n) == float(d_f)
+
+
+def test_narrow_jacobi_diagonal_widened():
+    A = problems.poisson3d(6, 6, 6, dtype=np.float32)
+    p = ps.PaddedDIA.from_dia(A.to_dia())
+    M = p.jacobi_precond()
+    assert M.diag_inv.dtype == jnp.float32
+    body = np.asarray(M.diag_inv)[p.hr : p.hr + p.r_pad].reshape(-1)[: p.n]
+    np.testing.assert_allclose(body, 1.0 / 6.0, rtol=1e-7)
+
+
+def test_matvec_wdot_matches_unfused():
+    A = problems.poisson3d(10, 10, 10, dtype=np.float32)
+    p = ps.PaddedDIA.from_dia(A.to_dia())
+    x2 = _rand_x(p, 1000, 1)
+    w2 = _rand_x(p, 1000, 2)
+    y, wd, yd = p.matvec_wdot(x2, w2)
+    y_ref = p.matvec(x2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(wd), float(jnp.vdot(w2, y_ref)), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(yd), float(jnp.vdot(y_ref, y_ref)), rtol=1e-4
+    )
+
+
+def test_mv_wdot_generic_fallback():
+    """Operators without matvec_wdot take the compose path with identical
+    semantics (conj-linear in w, c128 included)."""
+    from sprsolve_tpu.ops.operator import mv_wdot, mv_wdot2
+
+    A, rhs, _ = problems.hermitian_grid_with_diag((6, 6))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(36) + 1j * rng.standard_normal(36))
+    w = jnp.asarray(rng.standard_normal(36) - 1j * rng.standard_normal(36))
+    y, wd = mv_wdot(A, x, w)
+    y2, wd2, yd2 = mv_wdot2(A, x, w)
+    y_ref = A.matvec(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-13)
+    np.testing.assert_allclose(complex(wd), complex(jnp.vdot(w, y_ref)), rtol=1e-12)
+    np.testing.assert_allclose(complex(wd2), complex(wd), rtol=1e-15)
+    np.testing.assert_allclose(
+        complex(yd2), complex(jnp.vdot(y_ref, y_ref)), rtol=1e-12
+    )
+
+
+def test_bicgstab_degenerate_system_never_false_converges():
+    """On a nilpotent system r0·v hits exactly 0 in the *unrolled first
+    iteration* (which, like the reference's src/bicg_stab.rs:87-120, is
+    unguarded — the BreakDown check only exists in the main loop). The
+    predicated loop must then terminate without claiming convergence."""
+    import sprsolve_tpu as sp
+    from sprsolve_tpu.errors import Status
+    from sprsolve_tpu.ops.operator import as_operator
+
+    A = as_operator(jnp.asarray(np.array([[0.0, 0.0], [1.0, 0.0]])))
+    b = jnp.asarray(np.array([1.0, 0.0]))
+    x, info = sp.bicgstab(A, b, tol=1e-30, max_iter=50)
+    assert int(info.status) != int(Status.CONVERGED)
