@@ -17,7 +17,13 @@ from .errors import SolveInfo, SolverError, Status
 from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
 from .ops.optimize import optimize
 from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
-from .precond import ChebyshevPrecond, DiagPrecond
+from .precond import (
+    ChebyshevPrecond,
+    DiagPrecond,
+    IC0Precond,
+    ILU0Precond,
+    RelayedPrecond,
+)
 from .solvers import (
     ColoredELL,
     MaskedGSPrecond,
@@ -66,6 +72,9 @@ __all__ = [
     "DiagonalOperator",
     "DiagPrecond",
     "ChebyshevPrecond",
+    "ILU0Precond",
+    "IC0Precond",
+    "RelayedPrecond",
     "optimize",
     "PaddedDIA",
     "ComplexPaddedDIA",

@@ -87,6 +87,16 @@ def solve(
 
     from .errors import InvalidPreconditioner
     from .precond import DiagPrecond as _DP
+    from .precond import IC0Precond, ILU0Precond, RelayedPrecond
+
+    if isinstance(M, str) and M in ("ilu0", "ic0"):
+        src = A.to_csr() if isinstance(A, CSC) else A
+        if not isinstance(src, CSR):
+            raise InvalidPreconditioner(
+                f"M={M!r} factors the matrix on the host and needs a CSR/CSC "
+                "input (got an operator); build ILU0Precond/IC0Precond."
+            )
+        M = (ILU0Precond if M == "ilu0" else IC0Precond).from_csr(src)
 
     if M is not None and method == "cs_minres":
         # the reference CSMinRes has no preconditioned variant
@@ -110,6 +120,10 @@ def solve(
                 M = op.relay_diag_precond(M)
             except NotImplementedError as e:
                 raise InvalidPreconditioner(str(e)) from e
+        elif M is not None:
+            # any other flat-layout preconditioner (ILU0/IC0/Chebyshev/GS):
+            # round-trip each apply through the operator's internal layout
+            M = RelayedPrecond(inner=M, op=op)
         b_run = op.pad_vec(b)
         x0_run = op.pad_vec(jnp.asarray(x0)) if x0 is not None else None
     else:

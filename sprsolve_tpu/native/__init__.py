@@ -77,6 +77,11 @@ def _load():
     lib.csr_bandwidth.argtypes = [ctypes.c_int64, i64p, i32p]
     lib.csr_count_diagonals.restype = ctypes.c_int64
     lib.csr_count_diagonals.argtypes = [ctypes.c_int64, i64p, i32p]
+    for name in ("ilu0_f32", "ilu0_f64", "ilu0_c64", "ilu0_c128",
+                 "ic0_f32", "ic0_f64", "ic0_c64", "ic0_c128"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_int64, i64p, i32p, ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -202,3 +207,106 @@ def csr_count_diagonals(n: int, indptr: np.ndarray, indices: np.ndarray) -> int:
         return int(lib.csr_count_diagonals(n, indptr, indices))
     rows = np.repeat(np.arange(n), np.diff(indptr))
     return len(np.unique(indices.astype(np.int64) - rows))
+
+
+_FACTOR_SUFFIX = {
+    np.dtype(np.float32): "f32",
+    np.dtype(np.float64): "f64",
+    np.dtype(np.complex64): "c64",
+    np.dtype(np.complex128): "c128",
+}
+
+
+def _factor(kind: str, n: int, indptr, indices, values) -> np.ndarray:
+    """Shared driver for ilu0/ic0: returns the factored values array.
+
+    Raises ``ZeroDivisionError`` with the 0-based pivot row on a zero
+    (ilu0) / non-positive (ic0) pivot — converted to the package's typed
+    ``ZeroDiagonalError`` by the precond layer.
+    """
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    values = np.array(values, copy=True)
+    if values.dtype not in _FACTOR_SUFFIX:
+        raise TypeError(f"{kind}: unsupported dtype {values.dtype}")
+    lib = _load()
+    if lib is not None:
+        fn = getattr(lib, f"{kind}_{_FACTOR_SUFFIX[values.dtype]}")
+        rc = fn(n, indptr, indices, values.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise ZeroDivisionError(int(rc) - 1)
+        return values
+    # pure-Python fallback (row-loop; fine at test scale)
+    diag = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        row = indices[indptr[i]: indptr[i + 1]]
+        hit = np.nonzero(row == i)[0]
+        if len(hit) == 0:
+            raise ZeroDivisionError(i)
+        diag[i] = indptr[i] + hit[0]
+    if kind == "ilu0":
+        for i in range(n):
+            pos = {int(c): int(p) for p, c in
+                   zip(range(indptr[i], indptr[i + 1]), indices[indptr[i]: indptr[i + 1]])}
+            for p in range(indptr[i], indptr[i + 1]):
+                k = int(indices[p])
+                if k >= i:
+                    break
+                akk = values[diag[k]]
+                if akk == 0:
+                    raise ZeroDivisionError(k)
+                aik = values[p] / akk
+                values[p] = aik
+                for q in range(diag[k] + 1, indptr[k + 1]):
+                    pj = pos.get(int(indices[q]))
+                    if pj is not None:
+                        values[pj] -= aik * values[q]
+            if values[diag[i]] == 0:
+                raise ZeroDivisionError(i)
+        return values
+    # ic0
+    for i in range(n):
+        pos = {}
+        for p in range(indptr[i], indptr[i + 1]):
+            c = int(indices[p])
+            if c > i:
+                break
+            pos[c] = p
+        for p in range(indptr[i], indptr[i + 1]):
+            k = int(indices[p])
+            if k >= i:
+                break
+            s = values[p]
+            for q in range(indptr[k], indptr[k + 1]):
+                j = int(indices[q])
+                if j >= k:
+                    break
+                pj = pos.get(j)
+                if pj is not None:
+                    s -= values[pj] * np.conj(values[q])
+            values[p] = s / values[diag[k]]
+        d = float(np.real(values[diag[i]]))
+        for p in range(indptr[i], diag[i]):
+            d -= float(np.real(values[p] * np.conj(values[p])))
+        if not d > 0.0:
+            raise ZeroDivisionError(i)
+        values[diag[i]] = np.sqrt(d)
+    return values
+
+
+def ilu0(n: int, indptr, indices, values) -> np.ndarray:
+    """ILU(0) factorization in the CSR pattern (column-sorted rows).
+
+    Returns a new values array holding L (strict lower, unit diagonal
+    implied) and U (upper incl. diagonal) merged in the original pattern.
+    """
+    return _factor("ilu0", n, indptr, indices, values)
+
+
+def ic0(n: int, indptr, indices, values) -> np.ndarray:
+    """IC(0): incomplete Cholesky A ≈ L·Lᴴ in the lower-triangle pattern.
+
+    Returns a new values array with L written over the lower-triangle
+    positions (upper positions left untouched and must be ignored).
+    """
+    return _factor("ic0", n, indptr, indices, values)

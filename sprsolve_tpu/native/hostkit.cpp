@@ -12,13 +12,151 @@
 // Plain C ABI, consumed via ctypes (no pybind11 in this environment).
 
 #include <algorithm>
+#include <cmath>
+#include <complex>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
 #include <queue>
 #include <vector>
 
+namespace {
+
+// ILU(0): incomplete LU with zero fill-in, in place on a column-sorted CSR.
+// On return `values` holds L (strict lower, unit diagonal implied) and U
+// (upper including the diagonal) merged in the original pattern.  Returns 0
+// on success or (row + 1) of the first zero pivot / structurally missing
+// diagonal.  IKJ variant: each row i eliminates against prior rows k < i
+// present in its own pattern, updating only positions already in row i.
+template <typename T>
+int64_t ilu0_impl(int64_t n, const int64_t* indptr, const int32_t* indices,
+                  T* values) {
+  std::vector<int64_t> diag(n, -1);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (indices[p] == (int32_t)i) {
+        diag[i] = p;
+        break;
+      }
+  std::vector<int64_t> pos(n, -1);  // col -> position in the current row
+  for (int64_t i = 0; i < n; ++i) {
+    if (diag[i] < 0) return i + 1;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) pos[indices[p]] = p;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int32_t k = indices[p];
+      if (k >= (int32_t)i) break;  // rows are column-sorted
+      T akk = values[diag[k]];
+      if (akk == T(0)) return (int64_t)k + 1;
+      T aik = values[p] / akk;
+      values[p] = aik;
+      for (int64_t q = diag[k] + 1; q < indptr[k + 1]; ++q) {
+        int64_t pj = pos[indices[q]];
+        if (pj >= 0) values[pj] -= aik * values[q];
+      }
+    }
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) pos[indices[p]] = -1;
+    if (values[diag[i]] == T(0)) return i + 1;
+  }
+  return 0;
+}
+
+inline float conj_of(float v) { return v; }
+inline double conj_of(double v) { return v; }
+inline std::complex<float> conj_of(std::complex<float> v) { return std::conj(v); }
+inline std::complex<double> conj_of(std::complex<double> v) { return std::conj(v); }
+inline double real_of(float v) { return v; }
+inline double real_of(double v) { return v; }
+inline double real_of(std::complex<float> v) { return v.real(); }
+inline double real_of(std::complex<double> v) { return v.real(); }
+
+// IC(0): incomplete Cholesky A ~= L·Lᴴ with zero fill-in.  Reads the lower
+// triangle (incl. diagonal) of the CSR; writes L over those positions (upper
+// positions untouched).  Returns 0 on success or (row + 1) at the first
+// non-positive pivot (matrix not SPD-enough for IC0 on this pattern).
+template <typename T>
+int64_t ic0_impl(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 T* values) {
+  std::vector<int64_t> diag(n, -1);
+  std::vector<int64_t> pos(n, -1);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      if (indices[p] == (int32_t)i) {
+        diag[i] = p;
+        break;
+      }
+  for (int64_t i = 0; i < n; ++i) {
+    if (diag[i] < 0) return i + 1;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      if (indices[p] > (int32_t)i) break;
+      pos[indices[p]] = p;
+    }
+    // L_ik = (A_ik − Σ_{j<k} L_ij·conj(L_kj)) / L_kk for k < i, then the
+    // pivot L_ii = sqrt(A_ii − Σ_{j<i} |L_ij|²).
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      int32_t k = indices[p];
+      if (k >= (int32_t)i) break;
+      T s = values[p];
+      for (int64_t q = indptr[k]; q < indptr[k + 1]; ++q) {
+        int32_t j = indices[q];
+        if (j >= k) break;
+        int64_t pj = pos[j];
+        if (pj >= 0) s -= values[pj] * conj_of(values[q]);
+      }
+      values[p] = s / values[diag[k]];
+    }
+    double d = real_of(values[diag[i]]);
+    for (int64_t p = indptr[i]; p < diag[i]; ++p) {
+      T v = values[p];
+      d -= real_of(v * conj_of(v));
+    }
+    for (int64_t p = indptr[i]; p <= diag[i]; ++p) pos[indices[p]] = -1;
+    if (!(d > 0.0)) return i + 1;
+    values[diag[i]] = T(std::sqrt(d));
+  }
+  return 0;
+}
+
+}  // namespace
+
 extern "C" {
+
+int64_t ilu0_f32(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 float* values) {
+  return ilu0_impl(n, indptr, indices, values);
+}
+int64_t ilu0_f64(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 double* values) {
+  return ilu0_impl(n, indptr, indices, values);
+}
+int64_t ilu0_c64(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 void* values) {
+  return ilu0_impl(n, indptr, indices,
+                   reinterpret_cast<std::complex<float>*>(values));
+}
+int64_t ilu0_c128(int64_t n, const int64_t* indptr, const int32_t* indices,
+                  void* values) {
+  return ilu0_impl(n, indptr, indices,
+                   reinterpret_cast<std::complex<double>*>(values));
+}
+
+int64_t ic0_f32(int64_t n, const int64_t* indptr, const int32_t* indices,
+                float* values) {
+  return ic0_impl(n, indptr, indices, values);
+}
+int64_t ic0_f64(int64_t n, const int64_t* indptr, const int32_t* indices,
+                double* values) {
+  return ic0_impl(n, indptr, indices, values);
+}
+int64_t ic0_c64(int64_t n, const int64_t* indptr, const int32_t* indices,
+                void* values) {
+  return ic0_impl(n, indptr, indices,
+                  reinterpret_cast<std::complex<float>*>(values));
+}
+int64_t ic0_c128(int64_t n, const int64_t* indptr, const int32_t* indices,
+                 void* values) {
+  return ic0_impl(n, indptr, indices,
+                  reinterpret_cast<std::complex<double>*>(values));
+}
 
 // Greedy first-fit coloring of the pattern given by a *symmetric* CSR
 // adjacency (indptr/indices, diagonal entries ignored).
