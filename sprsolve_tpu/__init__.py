@@ -12,7 +12,7 @@ Public surface mirrors the reference re-exports (``src/lib.rs:15-21``).
 """
 
 from . import debug, errors, precond, vecalg
-from .api import BiCGStab, CSMinRes, GaussSeidel, MinRes, solve
+from .api import CG, BiCGStab, CSMinRes, GaussSeidel, MinRes, solve
 from .errors import SolveInfo, SolverError, Status
 from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
 from .ops.optimize import optimize
@@ -30,6 +30,7 @@ from .solvers import (
     MulticolorGSPrecond,
     color_masks,
     bicgstab,
+    cg,
     cs_minres,
     gauss_seidel,
     gauss_seidel_redblack,
@@ -44,10 +45,12 @@ __version__ = "0.1.0"
 __all__ = [
     "solve",
     "BiCGStab",
+    "CG",
     "MinRes",
     "CSMinRes",
     "GaussSeidel",
     "bicgstab",
+    "cg",
     "minres",
     "cs_minres",
     "with_real_planes",

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .errors import IncompatibleMatrixFormat
 from .ops.operator import as_operator
-from .solvers import bicgstab, cs_minres, gauss_seidel, minres
+from .solvers import bicgstab, cg, cs_minres, gauss_seidel, minres
 from .sparse.containers import CSR, ELL
 
 
@@ -47,6 +47,7 @@ def _run(fn, A, b, x, max_iter, tol, M=None):
 
 _SOLVERS = {
     "bicgstab": bicgstab,
+    "cg": cg,
     "minres": minres,
     "cs_minres": cs_minres,
 }
@@ -196,6 +197,27 @@ class MinRes:
 
     def precond_solve(self, precond, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
         return _run(minres, self.A, rhs, x, max_iter, tol, M=precond)
+
+
+class CG:
+    """Conjugate-gradient handle for SPD systems (no reference counterpart —
+    completeness extension; same handle shape as :class:`BiCGStab`)."""
+
+    def __init__(self, A, size: int):
+        self.A = as_operator(A)
+        if self.A.shape[1] != size:
+            raise IncompatibleMatrixFormat(
+                "Input vec dimension doesn't match the matrix size"
+            )
+        self.size = size
+
+    new = classmethod(lambda cls, A, size: cls(A, size))
+
+    def solve(self, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
+        return _run(cg, self.A, rhs, x, max_iter, tol)
+
+    def precond_solve(self, precond, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
+        return _run(cg, self.A, rhs, x, max_iter, tol, M=precond)
 
 
 class CSMinRes:

@@ -39,10 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..sparse.containers import DIA
 
-# autotuned on v5e (tools/tune_kernel2.py): 171 Gnnz/s on the 1M-row 7-point
-# Poisson; (512, 512) and (1024, 256) crash the Mosaic backend — avoid.
-LANES = 256
-BLOCK_ROWS = 256
+# autotuned on v5e (tools/tune_kernel2/3.py, post narrow-band storage):
+# (512, 512) ≈ 300-335 Gnnz/s vs (256, 256) ≈ 250-300 on the 1M-row 7-point
+# Poisson — the int8 band narrowing cut VMEM pressure enough that the larger
+# block now compiles (it crashed Mosaic with f32 bands) and wins in every
+# measured window. block_rows ≥ 768 still fails remote compile — avoid.
+LANES = 512
+BLOCK_ROWS = 512
 
 # interpreter-mode flag read at trace time; debug.interpret_kernels toggles it
 # (and clears the jit caches) instead of monkey-patching the pallas module.

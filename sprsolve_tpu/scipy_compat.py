@@ -1,0 +1,136 @@
+"""``scipy.sparse.linalg``-style entry points.
+
+Drop-in call conventions for users migrating scipy code: ``cg`` /
+``bicgstab`` / ``minres`` accept scipy.sparse matrices, dense arrays, this
+package's containers/operators, or host ``LinearOperator``-likes, and return
+``(x, info)`` with scipy's integer info codes (0 = converged, > 0 = no
+convergence within ``maxiter`` [the iteration count], < 0 = breakdown /
+invalid input).  Tolerance semantics follow scipy ≥ 1.12:
+``‖r‖ ≤ max(rtol·‖b‖, atol)``.
+
+Under the hood everything routes through :func:`sprsolve_tpu.solve`, so a
+scipy-shaped call still gets the layout optimizer (Pallas DIA / BSR / RCM)
+and runs the same TPU execution paths as the native API.  This is an
+interop veneer — new code should prefer :func:`sprsolve_tpu.solve` or the
+functional solvers, which return the richer :class:`SolveInfo`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .api import solve as _solve
+from .errors import BreakDown, InvalidPreconditioner, Status, ZeroDiagonalElem
+from .ops.operator import as_operator
+from .sparse.containers import CSR, csr_from_scipy
+
+__all__ = ["aslinearoperator", "bicgstab", "cg", "minres"]
+
+
+def _is_scipy_sparse(a) -> bool:
+    # LinearOperator also lives under scipy.sparse.*; a sparse *matrix* is
+    # what tocsr() identifies
+    return type(a).__module__.startswith("scipy.sparse") and hasattr(a, "tocsr")
+
+
+class _CallbackOperator:
+    """Wraps a host-side ``matvec`` (e.g. a scipy ``LinearOperator``) so it
+    can participate in jitted solves via ``jax.pure_callback``.  Every apply
+    round-trips device → host → device: correct, composable, slow — for
+    interop and testing, not production."""
+
+    def __init__(self, a):
+        self._a = a
+        self.shape = tuple(a.shape)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        spec = jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return jax.pure_callback(
+            lambda v: np.asarray(self._a.matvec(np.asarray(v)), dtype=v.dtype),
+            spec,
+            x,
+            vmap_method="sequential",
+        )
+
+    def matvec_dot(self, x: jax.Array):
+        from .vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+
+# static pytree node (identity-hashed): the host object crosses the jit
+# boundary as compile-time constant, its applies run via pure_callback
+jax.tree_util.register_static(_CallbackOperator)
+
+
+def aslinearoperator(a):
+    """Coerce ``a`` to this package's operator protocol.
+
+    Accepts: our containers/operators (returned as-is), scipy.sparse
+    matrices (converted to a device CSR container), dense arrays, and any
+    object exposing ``shape`` + ``matvec`` (wrapped as a host-callback
+    operator — the escape hatch for scipy ``LinearOperator``s).
+    """
+    if _is_scipy_sparse(a):
+        return csr_from_scipy(a)
+    if isinstance(a, (np.ndarray, jax.Array)) or not hasattr(a, "matvec"):
+        return as_operator(a)
+    if isinstance(a, CSR) or hasattr(a, "dtype") and isinstance(
+        getattr(a, "data", None), jax.Array
+    ):
+        return a
+    # our pytree operators hold jax arrays; host LinearOperators don't
+    leaves = jax.tree_util.tree_leaves(a)
+    if leaves and all(isinstance(l, jax.Array) for l in leaves):
+        return a
+    return _CallbackOperator(a)
+
+
+def _run(method: str, A, b, x0, rtol, atol, maxiter, M):
+    b_np = np.asarray(b)
+    n = b_np.shape[0]
+    if maxiter is None:
+        maxiter = 10 * n
+    bnorm = float(np.linalg.norm(b_np))
+    tol = rtol if bnorm == 0.0 else max(float(rtol), float(atol) / bnorm)
+
+    op = A if isinstance(A, CSR) else aslinearoperator(A)
+    if M is not None and not isinstance(M, str):
+        M = aslinearoperator(M)
+    try:
+        x, info = _solve(
+            op, b, method=method, M=M, tol=tol, max_iter=maxiter, x0=x0
+        )
+    except (BreakDown, InvalidPreconditioner, ZeroDiagonalElem):
+        return jnp.zeros_like(jnp.asarray(b)), -1
+    status = int(info.status)
+    if status == Status.CONVERGED:
+        return x, 0
+    if status == Status.INSUFFICIENT_ITER:
+        return x, int(info.iterations)  # scipy: info > 0 = stopped at maxiter
+    return x, -abs(status)
+
+
+def cg(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+       maxiter: Optional[int] = None, M=None):
+    """SPD conjugate-gradient solve, ``scipy.sparse.linalg.cg`` conventions."""
+    return _run("cg", A, b, x0, rtol, atol, maxiter, M)
+
+
+def bicgstab(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+             maxiter: Optional[int] = None, M=None):
+    """``scipy.sparse.linalg.bicgstab`` conventions."""
+    return _run("bicgstab", A, b, x0, rtol, atol, maxiter, M)
+
+
+def minres(A, b, x0=None, *, shift: float = 0.0, rtol: float = 1e-5,
+           maxiter: Optional[int] = None, M=None):
+    """``scipy.sparse.linalg.minres`` conventions (``shift`` unsupported)."""
+    if shift != 0.0:
+        raise NotImplementedError("minres shift is not supported")
+    return _run("minres", A, b, x0, rtol, 0.0, maxiter, M)

@@ -3,6 +3,7 @@
 ``lax.while_loop`` state pytree."""
 
 from .bicgstab import bicgstab
+from .cg import cg
 from .minres import minres
 from .planes import with_real_planes
 from .cs_minres import cs_minres
@@ -18,6 +19,7 @@ from .redblack import (
 
 __all__ = [
     "bicgstab",
+    "cg",
     "minres",
     "with_real_planes",
     "cs_minres",
