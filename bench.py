@@ -231,6 +231,14 @@ def main():
                 lambda: sp.minres(pdia_s, b2s, tol=tol, max_iter=mi)
             ),
         ),
+        # CG on the SPD Poisson: cheapest Krylov loop in the library (one
+        # fused SpMV+dot, one tail reduction pass)
+        (
+            "cg (pallas fused dotmv)",
+            lambda mi, tol: jax.jit(
+                lambda: sp.cg(pdia_s, b2s, M=M_pal, tol=tol, max_iter=mi)
+            ),
+        ),
     ]
     for name, build in solve_cfgs:
         try:

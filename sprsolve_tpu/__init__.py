@@ -12,7 +12,7 @@ Public surface mirrors the reference re-exports (``src/lib.rs:15-21``).
 """
 
 from . import debug, errors, precond, vecalg
-from .api import CG, BiCGStab, CSMinRes, GaussSeidel, MinRes, solve
+from .api import CG, BiCGStab, CSMinRes, GaussSeidel, MinRes, PreparedSolver, prepare, solve
 from .errors import SolveInfo, SolverError, Status
 from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
 from .ops.optimize import optimize
@@ -44,6 +44,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "solve",
+    "prepare",
+    "PreparedSolver",
     "BiCGStab",
     "CG",
     "MinRes",

@@ -53,6 +53,66 @@ _SOLVERS = {
 }
 
 
+def _prepare_op_M(A, method: str, M, optimize_layout: bool):
+    """Shared pipeline of :func:`solve` and :func:`prepare`: pick the
+    execution layout for ``A`` and build/re-lay the preconditioner.
+
+    Returns ``(op, M, padded)`` where ``padded`` means the operator works in
+    its own internal vector layout (PaddedDIA / ComplexPaddedDIA / Reordered
+    all expose ``pad_vec``/``unpad_vec``) and vectors must be converted at
+    the solve boundary.
+    """
+    from .errors import InvalidPreconditioner
+    from .ops.optimize import optimize as _optimize
+    from .precond import DiagPrecond as _DP
+    from .precond import IC0Precond, ILU0Precond, RelayedPrecond
+    from .sparse.containers import CSC
+
+    op = A
+    if optimize_layout:
+        if isinstance(A, CSC):
+            op = _optimize(A.to_csr())
+        elif isinstance(A, CSR):
+            op = _optimize(A)
+
+    if isinstance(M, str) and M in ("ilu0", "ic0"):
+        src = A.to_csr() if isinstance(A, CSC) else A
+        if not isinstance(src, CSR):
+            raise InvalidPreconditioner(
+                f"M={M!r} factors the matrix on the host and needs a CSR/CSC "
+                "input (got an operator); build ILU0Precond/IC0Precond."
+            )
+        M = (ILU0Precond if M == "ilu0" else IC0Precond).from_csr(src)
+
+    if M is not None and method == "cs_minres":
+        # the reference CSMinRes has no preconditioned variant
+        # (src/cs_minres.rs exports only solve); silently dropping M would
+        # hand back an unpreconditioned solve the user didn't ask for
+        raise InvalidPreconditioner(
+            "cs_minres has no preconditioned form; pass M=None"
+        )
+
+    padded = hasattr(op, "pad_vec")
+    if padded:
+        if isinstance(M, str) and M == "jacobi":
+            M = op.jacobi_precond()
+        elif isinstance(M, _DP):
+            # re-lay the diagonal into the operator's internal layout
+            # (padding and/or permutation); zero pads stay inert
+            try:
+                M = op.relay_diag_precond(M)
+            except NotImplementedError as e:
+                raise InvalidPreconditioner(str(e)) from e
+        elif M is not None:
+            # any other flat-layout preconditioner (ILU0/IC0/Chebyshev/GS):
+            # round-trip each apply through the operator's internal layout
+            M = RelayedPrecond(inner=M, op=op)
+    elif isinstance(M, str) and M == "jacobi":
+        diag = op.diagonal() if hasattr(op, "diagonal") else A.diagonal()
+        M = _DP.new(diag)
+    return op, M, padded
+
+
 def solve(
     A,
     b,
@@ -73,64 +133,14 @@ def solve(
     entry a user of the reference's ``BiCGStab::new(...).solve(...)`` flow
     reaches for when they don't care about layouts.
     """
-    from .ops.optimize import optimize as _optimize
-    from .sparse.containers import CSC
-
     solver = _SOLVERS[method]
     b = jnp.asarray(b)
 
-    op = A
-    if optimize_layout:
-        if isinstance(A, CSC):
-            op = _optimize(A.to_csr())
-        elif isinstance(A, CSR):
-            op = _optimize(A)
-
-    from .errors import InvalidPreconditioner
-    from .precond import DiagPrecond as _DP
-    from .precond import IC0Precond, ILU0Precond, RelayedPrecond
-
-    if isinstance(M, str) and M in ("ilu0", "ic0"):
-        src = A.to_csr() if isinstance(A, CSC) else A
-        if not isinstance(src, CSR):
-            raise InvalidPreconditioner(
-                f"M={M!r} factors the matrix on the host and needs a CSR/CSC "
-                "input (got an operator); build ILU0Precond/IC0Precond."
-            )
-        M = (ILU0Precond if M == "ilu0" else IC0Precond).from_csr(src)
-
-    if M is not None and method == "cs_minres":
-        # the reference CSMinRes has no preconditioned variant
-        # (src/cs_minres.rs exports only solve); silently dropping M would
-        # hand back an unpreconditioned solve the user didn't ask for
-        raise InvalidPreconditioner(
-            "cs_minres has no preconditioned form; pass M=None"
-        )
-
-    # "padded" = the operator works in its own internal vector layout
-    # (PaddedDIA / ComplexPaddedDIA / Reordered wrappers all expose
-    # pad_vec/unpad_vec); solve() converts at the boundary only.
-    padded = hasattr(op, "pad_vec")
+    op, M, padded = _prepare_op_M(A, method, M, optimize_layout)
     if padded:
-        if isinstance(M, str) and M == "jacobi":
-            M = op.jacobi_precond()
-        elif isinstance(M, _DP):
-            # re-lay the diagonal into the operator's internal layout
-            # (padding and/or permutation); zero pads stay inert
-            try:
-                M = op.relay_diag_precond(M)
-            except NotImplementedError as e:
-                raise InvalidPreconditioner(str(e)) from e
-        elif M is not None:
-            # any other flat-layout preconditioner (ILU0/IC0/Chebyshev/GS):
-            # round-trip each apply through the operator's internal layout
-            M = RelayedPrecond(inner=M, op=op)
         b_run = op.pad_vec(b)
         x0_run = op.pad_vec(jnp.asarray(x0)) if x0 is not None else None
     else:
-        if isinstance(M, str) and M == "jacobi":
-            diag = op.diagonal() if hasattr(op, "diagonal") else A.diagonal()
-            M = _DP.new(diag)
         b_run = b
         x0_run = jnp.asarray(x0) if x0 is not None else None
 
@@ -157,6 +167,80 @@ def solve(
     if padded:
         return op.unpad_vec(x_run), info
     return x_run, info
+
+
+class PreparedSolver:
+    """A solve pipeline optimized once, reusable across right-hand sides.
+
+    The serving-style counterpart of :func:`solve`: layout analysis
+    (``optimize()``), preconditioner construction (including host-side ILU/IC
+    factorization), and jit compilation all happen once in :func:`prepare`;
+    each call converts ``b``/``x0`` at the boundary and runs the cached
+    executable.  The analog of the reference's ``mkl_sparse_set_mv_hint`` +
+    ``mkl_sparse_optimize`` amortization (``src/mkl_mat.rs:81-148``), extended
+    to the whole solve.
+
+    Warm starts chain naturally::
+
+        handle = sp.prepare(A, method="bicgstab", M="jacobi", tol=1e-8)
+        x1, info1 = handle(b1)
+        x2, info2 = handle(b2, x0=x1)   # previous solution as initial guess
+    """
+
+    def __init__(self, op, solver, kwargs, n):
+        self._op = op
+        self._padded = hasattr(op, "pad_vec")
+        self._n = n
+        self._run = jax.jit(partial(solver, **kwargs))
+
+    @property
+    def operator(self):
+        """The optimized execution-layout operator (shared, reusable)."""
+        return self._op
+
+    def __call__(self, b, x0=None):
+        b = jnp.asarray(b)
+        if b.shape != (self._n,):
+            raise IncompatibleMatrixFormat(
+                "Input vec dimension doesn't match the matrix size"
+            )
+        x0 = None if x0 is None else jnp.asarray(x0)
+        if self._padded:
+            b_run = self._op.pad_vec(b)
+            x0_run = None if x0 is None else self._op.pad_vec(x0)
+        else:
+            b_run, x0_run = b, x0
+        x_run, info = self._run(self._op, b_run, x0_run)
+        if self._padded:
+            return self._op.unpad_vec(x_run), info
+        return x_run, info
+
+
+def prepare(
+    A,
+    *,
+    method: str = "bicgstab",
+    M=None,
+    tol: float = 1e-8,
+    max_iter: int = 1000,
+    optimize_layout: bool = True,
+) -> PreparedSolver:
+    """Build a :class:`PreparedSolver` for repeated solves against ``A``.
+
+    Accepts the same inputs as :func:`solve` (CSR/CSC containers or any
+    operator; ``M`` as an object or ``"jacobi"``/``"ilu0"``/``"ic0"``).
+    """
+    solver = _SOLVERS[method]
+    op, M, padded = _prepare_op_M(A, method, M, optimize_layout)
+    if padded and hasattr(A, "data") and jnp.iscomplexobj(jnp.asarray(A.data)):
+        raise NotImplementedError(
+            "prepare() does not support the complex padded path yet; "
+            "use solve() per call"
+        )
+    kwargs = dict(tol=tol, max_iter=max_iter)
+    if M is not None:
+        kwargs["M"] = M
+    return PreparedSolver(op, solver, kwargs, A.shape[0])
 
 
 class BiCGStab:

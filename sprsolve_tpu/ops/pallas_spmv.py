@@ -52,10 +52,18 @@ BLOCK_ROWS = 512
 _INTERPRET = [False]
 
 
+def _interpret_now() -> bool:
+    """Interpret when explicitly requested OR when the default backend has no
+    Mosaic lowering (CPU): plain ``solve()`` must work on a CPU-only host
+    without the user knowing about interpreter mode.  Read at trace time; the
+    backend cannot change after initialization, so cached traces stay valid."""
+    return _INTERPRET[0] or jax.default_backend() != "tpu"
+
+
 def _pallas_call(kernel, **kwargs):
     """Package-local pallas_call: every kernel in this package routes through
     here so the CPU-oracle interpreter mode can be switched on centrally."""
-    return pl.pallas_call(kernel, interpret=_INTERPRET[0], **kwargs)
+    return pl.pallas_call(kernel, interpret=_interpret_now(), **kwargs)
 
 
 def _band_accumulate(bands_ref, window, *, offsets, hr, lanes, br, dtype):

@@ -106,8 +106,11 @@ def cg(
                 s_ = s_._replace(
                     hist=s_.hist.at[s_.its].set(s_.r_norm / rhs_norm)
                 )
-            # fused SpMV + conj(p)·A·p
+            # fused SpMV + conj(p)·A·p (local partial under shard_map —
+            # the collective sum is the solver's job, as in minres)
             q, pq = A.matvec_dot(s_.p)
+            if axis_name is not None:
+                pq = lax.psum(pq, axis_name)
             # positive-definiteness gate as predicated arithmetic (cheap,
             # terminal, rare — same scheme as BiCGStab's breakdown exit)
             ok = jnp.real(pq) > 0

@@ -124,3 +124,18 @@ def test_distributed_masked_gs_precond():
         sp.bicgstab, op, jnp.asarray(rhs), tol=1e-14, max_iter=1500
     )
     assert int(info.iterations) < int(info_j.iterations) // 2
+
+
+def test_distributed_cg():
+    """CG's psum inner products and fused matvec_dot under shard_map: the
+    distributed SPD path must converge to the same answer as single-chip."""
+    A, _ = problems.sym_grid_laplacian((16, 16))
+    A = sp.csr_from_dense(-np.asarray(A.todense()))
+    rhs = np.random.default_rng(7).standard_normal(256)
+    x_local, info_local = sp.cg(A.to_dia(), jnp.asarray(rhs), tol=1e-12, max_iter=2000)
+    info_local.raise_if_error()
+    x, info = distributed_solve(sp.cg, A.to_dia(), rhs, tol=1e-12, max_iter=2000)
+    info.raise_if_error()
+    r = np.asarray(A.matvec(x)) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-10
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_local), atol=1e-8)

@@ -96,3 +96,29 @@ def test_solve_complex_padded_warm_start():
     x, info = sp.solve(A, rhs, method="bicgstab", x0=xk, tol=1e-4, max_iter=300)
     info.raise_if_error()
     assert int(info.iterations) == 0  # already converged at the warm start
+
+
+def test_prepare_reuses_layout_across_rhs():
+    """prepare(): optimize + precond-build + jit once, many rhs; warm start."""
+    import numpy as np
+    from sprsolve_tpu.utils import problems
+
+    A, _ = problems.sym_grid_laplacian((16, 16))
+    dense = -np.asarray(A.todense()).astype(np.float32)
+    Af = sp.csr_from_dense(dense)
+    handle = sp.prepare(Af, method="cg", M="ic0", tol=1e-6, max_iter=1000)
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        b = rng.standard_normal(256).astype(np.float32)
+        x, info = handle(b)
+        r = dense @ np.asarray(x) - b
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4, trial
+    # warm start: re-solving from the solution converges immediately
+    x2, info2 = handle(b, x0=x)
+    assert int(info2.iterations) <= 1
+    # dimension check still enforced per call
+    import pytest
+    from sprsolve_tpu.errors import IncompatibleMatrixFormat
+
+    with pytest.raises(IncompatibleMatrixFormat):
+        handle(np.ones(13, np.float32))
