@@ -12,7 +12,7 @@ Public surface mirrors the reference re-exports (``src/lib.rs:15-21``).
 """
 
 from . import debug, errors, precond, vecalg
-from .api import CG, BiCGStab, CSMinRes, GaussSeidel, MinRes, PreparedSolver, prepare, solve
+from .api import CG, GMRES, BiCGStab, CSMinRes, GaussSeidel, MinRes, PreparedSolver, prepare, solve
 from .errors import SolveInfo, SolverError, Status
 from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
 from .ops.optimize import optimize
@@ -34,6 +34,7 @@ from .solvers import (
     cs_minres,
     gauss_seidel,
     gauss_seidel_redblack,
+    gmres,
     greedy_color,
     minres,
     with_real_planes,
@@ -48,11 +49,13 @@ __all__ = [
     "PreparedSolver",
     "BiCGStab",
     "CG",
+    "GMRES",
     "MinRes",
     "CSMinRes",
     "GaussSeidel",
     "bicgstab",
     "cg",
+    "gmres",
     "minres",
     "cs_minres",
     "with_real_planes",

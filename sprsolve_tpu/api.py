@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .errors import IncompatibleMatrixFormat
 from .ops.operator import as_operator
-from .solvers import bicgstab, cg, cs_minres, gauss_seidel, minres
+from .solvers import bicgstab, cg, cs_minres, gauss_seidel, gmres, minres
 from .sparse.containers import CSR, ELL
 
 
@@ -50,6 +50,7 @@ _SOLVERS = {
     "cg": cg,
     "minres": minres,
     "cs_minres": cs_minres,
+    "gmres": gmres,
 }
 
 
@@ -123,6 +124,7 @@ def solve(
     max_iter: int = 1000,
     x0=None,
     optimize_layout: bool = True,
+    **solver_kwargs,
 ):
     """One-call solve: pick the execution layout, run, return ``(x, info)``.
 
@@ -137,6 +139,8 @@ def solve(
     b = jnp.asarray(b)
 
     op, M, padded = _prepare_op_M(A, method, M, optimize_layout)
+    if solver_kwargs:
+        solver = partial(solver, **solver_kwargs)  # e.g. restart= for gmres
     if padded:
         b_run = op.pad_vec(b)
         x0_run = op.pad_vec(jnp.asarray(x0)) if x0 is not None else None
@@ -224,6 +228,7 @@ def prepare(
     tol: float = 1e-8,
     max_iter: int = 1000,
     optimize_layout: bool = True,
+    **solver_kwargs,
 ) -> PreparedSolver:
     """Build a :class:`PreparedSolver` for repeated solves against ``A``.
 
@@ -237,7 +242,7 @@ def prepare(
             "prepare() does not support the complex padded path yet; "
             "use solve() per call"
         )
-    kwargs = dict(tol=tol, max_iter=max_iter)
+    kwargs = dict(tol=tol, max_iter=max_iter, **solver_kwargs)
     if M is not None:
         kwargs["M"] = M
     return PreparedSolver(op, solver, kwargs, A.shape[0])
@@ -302,6 +307,34 @@ class CG:
 
     def precond_solve(self, precond, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
         return _run(cg, self.A, rhs, x, max_iter, tol, M=precond)
+
+
+class GMRES:
+    """Restarted GMRES(m) handle for general systems (no reference
+    counterpart — completeness extension; same handle shape as
+    :class:`BiCGStab`). ``restart`` is the Krylov dimension per cycle."""
+
+    def __init__(self, A, size: int, restart: int = 32):
+        self.A = as_operator(A)
+        if self.A.shape[1] != size:
+            raise IncompatibleMatrixFormat(
+                "Input vec dimension doesn't match the matrix size"
+            )
+        self.size = size
+        self.restart = int(restart)
+
+    new = classmethod(lambda cls, A, size, restart=32: cls(A, size, restart))
+
+    def solve(self, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
+        return _run(
+            partial(gmres, restart=self.restart), self.A, rhs, x, max_iter, tol
+        )
+
+    def precond_solve(self, precond, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
+        return _run(
+            partial(gmres, restart=self.restart),
+            self.A, rhs, x, max_iter, tol, M=precond,
+        )
 
 
 class CSMinRes:

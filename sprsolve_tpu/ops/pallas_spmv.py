@@ -46,6 +46,11 @@ from ..sparse.containers import DIA
 # measured window. block_rows ≥ 768 still fails remote compile — avoid.
 LANES = 512
 BLOCK_ROWS = 512
+# the complex two-plane kernel holds ~2x the real kernel's VMEM working set
+# (two band planes, two x windows, two outputs); 512-row blocks overflow the
+# 16M scoped-vmem limit on v5e (measured 33.7M), 256 fits and was the config
+# behind the recorded 107.4 Gcnnz/s
+COMPLEX_BLOCK_ROWS = 256
 
 # interpreter-mode flag read at trace time; debug.interpret_kernels toggles it
 # (and clears the jit caches) instead of monkey-patching the pallas module.
@@ -594,7 +599,7 @@ class ComplexPaddedDIA:
         return self.re.r_pad
 
     @staticmethod
-    def from_dia(m: DIA, lanes: int = LANES, block_rows: int = BLOCK_ROWS):
+    def from_dia(m: DIA, lanes: int = LANES, block_rows: int = COMPLEX_BLOCK_ROWS):
         bands = np.asarray(m.bands)
         mk = lambda b: PaddedDIA.from_dia(
             DIA(bands=b, offsets=m.offsets, shape=m.shape),
@@ -604,7 +609,7 @@ class ComplexPaddedDIA:
         return ComplexPaddedDIA(re=mk(bands.real), im=mk(bands.imag))
 
     @staticmethod
-    def from_csr(m, lanes: int = LANES, block_rows: int = BLOCK_ROWS):
+    def from_csr(m, lanes: int = LANES, block_rows: int = COMPLEX_BLOCK_ROWS):
         """Build directly from a host CSR: complex data never touches the
         device (only the real band planes do) — required on backends without
         complex device-buffer support."""

@@ -28,7 +28,7 @@ from .errors import BreakDown, InvalidPreconditioner, Status, ZeroDiagonalElem
 from .ops.operator import as_operator
 from .sparse.containers import CSR, csr_from_scipy
 
-__all__ = ["aslinearoperator", "bicgstab", "cg", "minres"]
+__all__ = ["aslinearoperator", "bicgstab", "cg", "gmres", "minres"]
 
 
 def _is_scipy_sparse(a) -> bool:
@@ -91,7 +91,7 @@ def aslinearoperator(a):
     return _CallbackOperator(a)
 
 
-def _run(method: str, A, b, x0, rtol, atol, maxiter, M):
+def _run(method: str, A, b, x0, rtol, atol, maxiter, M, **solver_kwargs):
     b_np = np.asarray(b)
     n = b_np.shape[0]
     if maxiter is None:
@@ -104,7 +104,8 @@ def _run(method: str, A, b, x0, rtol, atol, maxiter, M):
         M = aslinearoperator(M)
     try:
         x, info = _solve(
-            op, b, method=method, M=M, tol=tol, max_iter=maxiter, x0=x0
+            op, b, method=method, M=M, tol=tol, max_iter=maxiter, x0=x0,
+            **solver_kwargs,
         )
     except (BreakDown, InvalidPreconditioner, ZeroDiagonalElem):
         return jnp.zeros_like(jnp.asarray(b)), -1
@@ -126,6 +127,23 @@ def bicgstab(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
              maxiter: Optional[int] = None, M=None):
     """``scipy.sparse.linalg.bicgstab`` conventions."""
     return _run("bicgstab", A, b, x0, rtol, atol, maxiter, M)
+
+
+def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+          restart: Optional[int] = None, maxiter: Optional[int] = None, M=None):
+    """``scipy.sparse.linalg.gmres`` conventions.
+
+    As in scipy, ``maxiter`` counts restart *cycles* (inner steps are
+    ``maxiter·restart``) and ``restart`` defaults to ``min(20, n)``.
+    """
+    n = np.asarray(b).shape[0]
+    if restart is None:
+        restart = min(20, n)
+    if maxiter is None:
+        maxiter = min(10 * n, 1000)
+    return _run(
+        "gmres", A, b, x0, rtol, atol, maxiter * restart, M, restart=restart
+    )
 
 
 def minres(A, b, x0=None, *, shift: float = 0.0, rtol: float = 1e-5,

@@ -4,6 +4,7 @@
 
 from .bicgstab import bicgstab
 from .cg import cg
+from .gmres import gmres
 from .minres import minres
 from .planes import with_real_planes
 from .cs_minres import cs_minres
@@ -20,6 +21,7 @@ from .redblack import (
 __all__ = [
     "bicgstab",
     "cg",
+    "gmres",
     "minres",
     "with_real_planes",
     "cs_minres",
