@@ -28,8 +28,10 @@ from .solvers import (
     ColoredELL,
     MaskedGSPrecond,
     MulticolorGSPrecond,
-    color_masks,
+    batched,
     bicgstab,
+    block_cg,
+    color_masks,
     cg,
     cs_minres,
     gauss_seidel,
@@ -53,7 +55,9 @@ __all__ = [
     "MinRes",
     "CSMinRes",
     "GaussSeidel",
+    "batched",
     "bicgstab",
+    "block_cg",
     "cg",
     "gmres",
     "minres",

@@ -48,9 +48,10 @@ LANES = 512
 BLOCK_ROWS = 512
 # the complex two-plane kernel holds ~2x the real kernel's VMEM working set
 # (two band planes, two x windows, two outputs); 512-row blocks overflow the
-# 16M scoped-vmem limit on v5e (measured 33.7M), 256 fits and was the config
-# behind the recorded 107.4 Gcnnz/s
-COMPLEX_BLOCK_ROWS = 256
+# 16M scoped-vmem limit on v5e (33.7M) and even 256 grazes it (16.83M).
+# Probed on-chip (tools/probe_complex_block.py): 192 -> 117.2 Gcnnz/s,
+# 128 -> 113.1, 256+ -> compile OOM.
+COMPLEX_BLOCK_ROWS = 192
 
 # interpreter-mode flag read at trace time; debug.interpret_kernels toggles it
 # (and clears the jit caches) instead of monkey-patching the pallas module.

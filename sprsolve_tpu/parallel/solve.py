@@ -80,7 +80,8 @@ def distributed_solve(
     else:
         n_pad = A_parts.shape[0]
         if n_pad != n:
-            pad = jnp.zeros(n_pad - n, dtype=b.dtype)
+            # rhs may be (n,) or an (n, k) multi-rhs block (block_cg)
+            pad = jnp.zeros((n_pad - n,) + b.shape[1:], dtype=b.dtype)
             b = jnp.concatenate([b, pad])
             x0 = jnp.concatenate([x0, pad])
 

@@ -3,6 +3,7 @@
 ``lax.while_loop`` state pytree."""
 
 from .bicgstab import bicgstab
+from .block_cg import batched, block_cg
 from .cg import cg
 from .gmres import gmres
 from .minres import minres
@@ -20,6 +21,8 @@ from .redblack import (
 
 __all__ = [
     "bicgstab",
+    "batched",
+    "block_cg",
     "cg",
     "gmres",
     "minres",
