@@ -18,8 +18,10 @@ from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
 from .ops.optimize import optimize
 from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
 from .precond import (
+    BlockJacobiPrecond,
     ChebyshevPrecond,
     DiagPrecond,
+    estimate_spectral_bounds,
     IC0Precond,
     ILU0Precond,
     RelayedPrecond,
@@ -83,7 +85,9 @@ __all__ = [
     "IdentityOperator",
     "DiagonalOperator",
     "DiagPrecond",
+    "BlockJacobiPrecond",
     "ChebyshevPrecond",
+    "estimate_spectral_bounds",
     "ILU0Precond",
     "IC0Precond",
     "RelayedPrecond",

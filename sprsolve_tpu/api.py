@@ -76,14 +76,20 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
         elif isinstance(A, CSR):
             op = _optimize(A)
 
-    if isinstance(M, str) and M in ("ilu0", "ic0"):
+    if isinstance(M, str) and M in ("ilu0", "ic0", "block_jacobi"):
         src = A.to_csr() if isinstance(A, CSC) else A
         if not isinstance(src, CSR):
             raise InvalidPreconditioner(
-                f"M={M!r} factors the matrix on the host and needs a CSR/CSC "
-                "input (got an operator); build ILU0Precond/IC0Precond."
+                f"M={M!r} builds from the matrix on the host and needs a "
+                "CSR/CSC input (got an operator); build the preconditioner "
+                "object directly."
             )
-        M = (ILU0Precond if M == "ilu0" else IC0Precond).from_csr(src)
+        if M == "block_jacobi":
+            from .precond import BlockJacobiPrecond
+
+            M = BlockJacobiPrecond.from_csr(src)
+        else:
+            M = (ILU0Precond if M == "ilu0" else IC0Precond).from_csr(src)
 
     if M is not None and method == "cs_minres":
         # the reference CSMinRes has no preconditioned variant

@@ -133,6 +133,26 @@ class ChebyshevPrecond:
             x = y / lam
         return lam
 
+    @classmethod
+    def auto(cls, A, x_example=None, *, degree: int = 4, lanczos_iters: int = 30,
+             seed: int = 0) -> "ChebyshevPrecond":
+        """Build with spectral bounds estimated by :func:`estimate_spectral_bounds`.
+
+        ``A`` must be SPD/HPD (positive estimated spectrum) — raises
+        :class:`~sprsolve_tpu.errors.InvalidPreconditioner` otherwise.
+        """
+        from .errors import InvalidPreconditioner
+
+        lmin, lmax = estimate_spectral_bounds(
+            A, x_example, m=lanczos_iters, seed=seed
+        )
+        if lmin <= 0.0:
+            raise InvalidPreconditioner(
+                f"Chebyshev needs a positive spectrum; estimated "
+                f"[{lmin:.3g}, {lmax:.3g}] — is A SPD?"
+            )
+        return cls(A=A, lmin=lmin, lmax=lmax, degree=degree)
+
     def matvec(self, r: jax.Array) -> jax.Array:
         # Chebyshev iteration for A z = r from z0 = 0 (Saad, Iterative
         # Methods, alg. 12.1): theta = (λmax+λmin)/2, delta = (λmax−λmin)/2.
@@ -163,6 +183,137 @@ class ChebyshevPrecond:
 
 jax.tree_util.register_dataclass(
     ChebyshevPrecond, data_fields=("A",), meta_fields=("lmin", "lmax", "degree")
+)
+
+
+def estimate_spectral_bounds(A, x_example=None, *, m: int = 30, seed: int = 0,
+                             safety: float = 0.05):
+    """Estimate the extreme eigenvalues of a Hermitian operator.
+
+    ``m``-step Lanczos with full reorthogonalization, run host-side against
+    the (jitted) ``A.matvec`` — a one-time setup cost, like the reference's
+    ``mkl_sparse_optimize`` hint pass.  Returns ``(lmin, lmax)`` widened by
+    ``safety`` on each end (Ritz values under-estimate the true extremes, and
+    Chebyshev bounds must *bracket* the spectrum to contract).
+
+    ``x_example`` fixes the start-vector shape/dtype for operators with an
+    internal layout (PaddedDIA & co.: pass ``op.pad_vec(v)``); by default a
+    seeded unit-normal flat vector of size ``A.shape[0]`` is used.
+    """
+    import numpy as np
+
+    if x_example is None:
+        n = A.shape[0]
+        x = jnp.asarray(
+            np.random.default_rng(seed).standard_normal(n), jnp.float32
+        )
+    else:
+        x = jnp.asarray(x_example)
+    mv = jax.jit(A.matvec)
+    nrm = float(jnp.linalg.norm(x.ravel()))
+    q = x / x.dtype.type(nrm)
+    basis = [q]
+    alphas: list[float] = []
+    betas: list[float] = []
+    beta = 0.0
+    q_prev = jnp.zeros_like(q)
+    for _ in range(m):
+        w = mv(q)
+        alpha = float(jnp.vdot(q.ravel(), w.ravel()).real)
+        w = w - q.dtype.type(alpha) * q - q.dtype.type(beta) * q_prev
+        for qq in basis:  # full reorthogonalization (small m, host-driven)
+            w = w - jnp.vdot(qq.ravel(), w.ravel()) * qq
+        alphas.append(alpha)
+        beta = float(jnp.linalg.norm(w.ravel()))
+        if not np.isfinite(beta) or beta < 1e-30:
+            break
+        betas.append(beta)
+        q_prev, q = q, w / w.dtype.type(beta)
+        basis.append(q)
+    T = np.diag(np.asarray(alphas, np.float64))
+    if len(alphas) > 1:
+        off = np.asarray(betas[: len(alphas) - 1], np.float64)
+        T += np.diag(off, 1) + np.diag(off, -1)
+    ev = np.linalg.eigvalsh(T)
+    lmin, lmax = float(ev[0]), float(ev[-1])
+    lmin = lmin * (1.0 - safety) if lmin > 0 else lmin * (1.0 + safety)
+    lmax = lmax * (1.0 + safety) if lmax > 0 else lmax * (1.0 - safety)
+    return lmin, lmax
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockJacobiPrecond:
+    """Block-Jacobi preconditioner: M⁻¹ = blockdiag(A₁₁⁻¹, …, A_kk⁻¹).
+
+    The MXU-shaped generalization of :class:`DiagPrecond` (reference
+    ``src/precond.rs`` stores ``1/diag``; here each dense ``bs×bs`` diagonal
+    block is inverted once on the host).  The apply is a single batched
+    ``(nb, bs, bs) × (nb, bs)`` contraction — exactly the regular, large,
+    batched matmul shape the systolic array wants, with no sequential row
+    dependencies — so it runs at full speed through jit/vmap/shard_map.
+
+    If A is SPD/Hermitian every diagonal block is too, hence M⁻¹ is HPD and
+    valid for CG and for MINRES's β² = rᴴM⁻¹r > 0 gate
+    (``src/minres.rs:235-244``).
+    """
+
+    inv_blocks: jax.Array  # (nb, bs, bs)
+    n: int                 # original dimension (meta: static)
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @staticmethod
+    def from_csr(A, *, block_size: int = 16) -> "BlockJacobiPrecond":
+        import numpy as np
+
+        from .errors import InvalidPreconditioner
+
+        n = A.shape[0]
+        bs = int(block_size)
+        nb = -(-n // bs)
+        indptr = np.asarray(A.indptr, np.int64)
+        indices = np.asarray(A.indices, np.int64)
+        data = np.asarray(A.data)
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        in_block = (rows // bs) == (indices // bs)
+        r, c, v = rows[in_block], indices[in_block], data[in_block]
+        blocks = np.zeros((nb, bs, bs), dtype=data.dtype)
+        blocks[r // bs, r % bs, c % bs] = v
+        pad = np.arange(n, nb * bs)  # unit diagonal keeps padded lanes inert
+        blocks[pad // bs, pad % bs, pad % bs] = 1
+        wide = blocks.astype(
+            np.complex128 if np.iscomplexobj(data) else np.float64
+        )
+        try:
+            inv = np.linalg.inv(wide)
+        except np.linalg.LinAlgError:
+            raise InvalidPreconditioner(
+                "block-Jacobi: a diagonal block is singular"
+            ) from None
+        return BlockJacobiPrecond(
+            inv_blocks=jnp.asarray(inv.astype(data.dtype)), n=n
+        )
+
+    def matvec(self, r: jax.Array) -> jax.Array:
+        nb, bs, _ = self.inv_blocks.shape
+        rp = jnp.pad(r, (0, nb * bs - self.n)).reshape(nb, bs)
+        z = jnp.einsum(
+            "bij,bj->bi", self.inv_blocks, rp,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return z.reshape(-1)[: self.n]
+
+    def matvec_dot(self, x: jax.Array):
+        from .vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+
+jax.tree_util.register_dataclass(
+    BlockJacobiPrecond, data_fields=("inv_blocks",), meta_fields=("n",)
 )
 
 
