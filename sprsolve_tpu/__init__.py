@@ -39,6 +39,7 @@ from .solvers import (
     gauss_seidel,
     gauss_seidel_redblack,
     gmres,
+    lsqr,
     greedy_color,
     minres,
     with_real_planes,
@@ -62,6 +63,7 @@ __all__ = [
     "block_cg",
     "cg",
     "gmres",
+    "lsqr",
     "minres",
     "cs_minres",
     "with_real_planes",

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .errors import IncompatibleMatrixFormat
 from .ops.operator import as_operator
-from .solvers import bicgstab, cg, cs_minres, gauss_seidel, gmres, minres
+from .solvers import bicgstab, cg, cs_minres, gauss_seidel, gmres, lsqr, minres
 from .sparse.containers import CSR, ELL
 
 
@@ -51,6 +51,7 @@ _SOLVERS = {
     "minres": minres,
     "cs_minres": cs_minres,
     "gmres": gmres,
+    "lsqr": lsqr,
 }
 
 
@@ -68,6 +69,16 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
     from .precond import DiagPrecond as _DP
     from .precond import IC0Precond, ILU0Precond, RelayedPrecond
     from .sparse.containers import CSC
+
+    if method == "lsqr":
+        # rectangular-capable: stay on the CSR execution path (the layout
+        # optimizer's formats are square-system layouts, and A/Aᴴ must live
+        # in compatible layouts)
+        if M is not None:
+            raise InvalidPreconditioner(
+                "lsqr has no preconditioned form; pass M=None"
+            )
+        return (A.to_csr() if isinstance(A, CSC) else A), None, False
 
     op = A
     if optimize_layout:
@@ -145,6 +156,8 @@ def solve(
     b = jnp.asarray(b)
 
     op, M, padded = _prepare_op_M(A, method, M, optimize_layout)
+    if method == "lsqr" and "AH" not in solver_kwargs:
+        solver_kwargs["AH"] = op.adjoint()  # host-side build, before the jit
     if solver_kwargs:
         solver = partial(solver, **solver_kwargs)  # e.g. restart= for gmres
     if padded:
@@ -248,6 +261,8 @@ def prepare(
             "prepare() does not support the complex padded path yet; "
             "use solve() per call"
         )
+    if method == "lsqr" and "AH" not in solver_kwargs:
+        solver_kwargs["AH"] = op.adjoint()  # host-side build, before the jit
     kwargs = dict(tol=tol, max_iter=max_iter, **solver_kwargs)
     if M is not None:
         kwargs["M"] = M

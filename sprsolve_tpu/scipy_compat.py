@@ -28,7 +28,7 @@ from .errors import BreakDown, InvalidPreconditioner, Status, ZeroDiagonalElem
 from .ops.operator import as_operator
 from .sparse.containers import CSR, csr_from_scipy
 
-__all__ = ["aslinearoperator", "bicgstab", "cg", "gmres", "minres"]
+__all__ = ["aslinearoperator", "bicgstab", "cg", "gmres", "lsqr", "minres"]
 
 
 def _is_scipy_sparse(a) -> bool:
@@ -152,3 +152,61 @@ def minres(A, b, x0=None, *, shift: float = 0.0, rtol: float = 1e-5,
     if shift != 0.0:
         raise NotImplementedError("minres shift is not supported")
     return _run("minres", A, b, x0, rtol, 0.0, maxiter, M)
+
+
+def lsqr(A, b, damp: float = 0.0, atol: float = 1e-6, btol: float = 1e-6,
+         conlim: float = 1e8, iter_lim: Optional[int] = None,
+         show: bool = False, calc_var: bool = False, x0=None):
+    """``scipy.sparse.linalg.lsqr`` conventions.
+
+    Returns the scipy 10-tuple ``(x, istop, itn, r1norm, r2norm, anorm,
+    acond, arnorm, xnorm, var)``.  ``acond`` is not estimated (NaN) and
+    ``calc_var`` is unsupported; the solve itself uses ``max(atol, btol)``
+    as the unified tolerance of :func:`sprsolve_tpu.solvers.lsqr`.
+    """
+    if calc_var:
+        raise NotImplementedError("lsqr calc_var is not supported")
+    if _is_scipy_sparse(A):
+        A = csr_from_scipy(A)
+    elif isinstance(A, (np.ndarray, jax.Array)):
+        from .sparse.containers import csr_from_dense
+
+        A = csr_from_dense(np.asarray(A))
+    if not isinstance(A, CSR):
+        raise NotImplementedError(
+            "scipy_compat.lsqr needs a matrix input (CSR/scipy.sparse/"
+            "dense); for operator inputs call sprsolve_tpu.lsqr with an "
+            "explicit AH="
+        )
+    b_np = np.asarray(b)
+    m, n = A.shape
+    if iter_lim is None:
+        iter_lim = 2 * n
+    tol = max(float(atol), float(btol))
+    from .api import solve as _api_solve
+
+    x, info = _api_solve(
+        A, b, method="lsqr", tol=tol, max_iter=iter_lim, x0=x0, damp=damp
+    )
+    x_np = np.asarray(x)
+    itn = int(info.iterations)
+    r = b_np - np.asarray(A.matvec(jnp.asarray(x)))
+    r1norm = float(np.linalg.norm(r))
+    xnorm = float(np.linalg.norm(x_np))
+    r2norm = float(np.sqrt(r1norm**2 + (damp * xnorm) ** 2))
+    anorm = float(np.linalg.norm(np.asarray(A.data)))  # Frobenius
+    arnorm = float(
+        np.linalg.norm(np.asarray(A.adjoint().matvec(jnp.asarray(r)))
+                       - (damp * damp) * x_np)
+    )
+    bnorm = float(np.linalg.norm(b_np))
+    if bnorm == 0.0:
+        istop = 0
+    elif r1norm <= tol * bnorm * 1.01:
+        istop = 1
+    elif int(info.status) == Status.CONVERGED:
+        istop = 2  # least-squares convergence (‖Aᴴr‖ small)
+    else:
+        istop = 7  # iteration limit
+    return (x, istop, itn, r1norm, r2norm, anorm, float("nan"), arnorm,
+            xnorm, None)

@@ -6,6 +6,7 @@ from .bicgstab import bicgstab
 from .block_cg import batched, block_cg
 from .cg import cg
 from .gmres import gmres
+from .lsqr import lsqr
 from .minres import minres
 from .planes import with_real_planes
 from .cs_minres import cs_minres
@@ -25,6 +26,7 @@ __all__ = [
     "block_cg",
     "cg",
     "gmres",
+    "lsqr",
     "minres",
     "with_real_planes",
     "cs_minres",

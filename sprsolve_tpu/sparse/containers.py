@@ -156,6 +156,28 @@ class CSR:
     def to_dia(self) -> "DIA":
         return DIA.from_csr(self)
 
+    def transpose(self, conj: bool = False) -> "CSR":
+        """Aᵀ (or Aᴴ with ``conj=True``) as a new CSR — host-side, rectangular
+        ok. Built once at setup time, the adjoint pairs with :func:`lsqr` and
+        normal-equation methods (no per-iteration transposed gathers)."""
+        rows = np.asarray(self.row_ids, np.int64)
+        cols = np.asarray(self.indices, np.int64)
+        dat = np.asarray(self.data)
+        if conj:
+            dat = np.conj(dat)
+        order = np.lexsort((rows, cols))
+        m, n = self.shape
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, cols[order] + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        return CSR.from_arrays(
+            dat[order], rows[order].astype(np.int32), indptr, (n, m)
+        )
+
+    def adjoint(self) -> "CSR":
+        """Aᴴ = conj(A)ᵀ (equals :meth:`transpose` for real dtypes)."""
+        return self.transpose(conj=True)
+
     def diagonal(self) -> jax.Array:
         """Extract the main diagonal (host-side, for preconditioner setup)."""
         dat = np.asarray(self.data)
