@@ -209,12 +209,20 @@ class MaskedGSPrecond:
     Works on flat or padded-2D vectors; masks must be in the same layout
     (padded entries False, so they stay inert).  With z₀ = 0 the map r ↦ z is
     a fixed linear operator — valid as a Krylov preconditioner.
+
+    ``omega`` over-relaxes each masked update (SOR); ``symmetric=True`` runs
+    the color classes forward then backward per sweep — multicolor
+    SGS/SSOR.  For symmetric A the symmetric apply is a symmetric map, so it
+    passes MINRES's β² gate and is valid for CG (the accelerator-friendly
+    stand-in for the triangular-solve SSOR of CPU libraries).
     """
 
     A: object                    # any LinearOperator (DIA/PaddedDIA/...)
     diag: jax.Array              # same layout as vectors
     masks: Tuple[jax.Array, ...]  # one boolean mask per color, vector layout
     sweeps: int = 1
+    omega: float = 1.0
+    symmetric: bool = False
 
     @property
     def shape(self):
@@ -236,23 +244,29 @@ class MaskedGSPrecond:
             diag=_P(axis_name),
             masks=tuple(_P(axis_name) for _ in self.masks),
             sweeps=self.sweeps,
+            omega=self.omega,
+            symmetric=self.symmetric,
         )
 
     def matvec(self, r: jax.Array) -> jax.Array:
         # pad/halo coordinates: diag is structurally 0 there; divide-by-zero
         # is masked out but still poisons XLA's where unless guarded.
         safe_diag = jnp.where(self.diag == 0, jnp.ones((), self.diag.dtype), self.diag)
+        om = jnp.asarray(self.omega, safe_diag.dtype)
         z = jnp.zeros_like(r)
         first = True
+        order = tuple(self.masks)
+        if self.symmetric:
+            order = order + order[::-1]
         for _ in range(self.sweeps):
-            for mask in self.masks:
+            for mask in order:
                 if first:
                     # z = 0 ⇒ A·z = 0: skip the SpMV of the very first update
-                    zi = r / safe_diag
+                    zi = om * r / safe_diag
                     first = False
                 else:
                     az = self.A.matvec(z)
-                    zi = (r - (az - self.diag * z)) / safe_diag
+                    zi = z + om * (r - az) / safe_diag
                 z = jnp.where(mask, zi, z)
         return z
 
@@ -264,7 +278,9 @@ class MaskedGSPrecond:
 
 
 jax.tree_util.register_dataclass(
-    MaskedGSPrecond, data_fields=("A", "diag", "masks"), meta_fields=("sweeps",)
+    MaskedGSPrecond,
+    data_fields=("A", "diag", "masks"),
+    meta_fields=("sweeps", "omega", "symmetric"),
 )
 
 

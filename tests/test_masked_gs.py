@@ -69,3 +69,60 @@ def test_masked_gs_in_pallas_layout():
     x = p.unpad_vec(x2)
     r = np.asarray(A.matvec(x)) - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+
+def _spd_poisson(side=12):
+    A, _ = problems.sym_grid_laplacian((side, side))
+    return sp.csr_from_dense(-np.asarray(A.todense()))
+
+
+def _materialize(M, n):
+    cols = [np.asarray(M.matvec(jnp.zeros(n).at[i].set(1.0))) for i in range(n)]
+    return np.stack(cols, axis=1)
+
+
+def test_ssor_apply_is_symmetric_map():
+    A = _spd_poisson(6)
+    colors = sp.greedy_color(A)
+    M = sp.MaskedGSPrecond(
+        A=A.to_dia(), diag=A.diagonal(), masks=sp.color_masks(colors),
+        sweeps=1, omega=1.3, symmetric=True,
+    )
+    dense = _materialize(M, 36)
+    np.testing.assert_allclose(dense, dense.T, rtol=1e-12, atol=1e-13)
+    # ... and positive definite for SPD A with 0 < omega < 2
+    ev = np.linalg.eigvalsh((dense + dense.T) / 2)
+    assert ev[0] > 0
+
+
+def test_forward_omega_one_unchanged():
+    # the omega/symmetric extension must not perturb the default map
+    A, _ = _dirichlet((8, 8))
+    colors = sp.greedy_color(A)
+    masks = sp.color_masks(colors)
+    M_new = sp.MaskedGSPrecond(A=A.to_dia(), diag=A.diagonal(), masks=masks)
+    colored = ColoredELL.from_csr(A, colors)
+    r = jnp.asarray(np.random.default_rng(3).standard_normal(64))
+    np.testing.assert_allclose(
+        np.asarray(M_new.matvec(r)),
+        np.asarray(colored.sweep(r, jnp.zeros_like(r))),
+        rtol=1e-14, atol=1e-14,
+    )
+
+
+def test_ssor_with_minres_and_cg():
+    A = _spd_poisson(16)
+    colors = sp.greedy_color(A)
+    M = sp.MaskedGSPrecond(
+        A=A.to_dia(), diag=A.diagonal(), masks=sp.color_masks(colors),
+        sweeps=1, omega=1.5, symmetric=True,
+    )
+    b = jnp.asarray(np.random.default_rng(4).standard_normal(256))
+    x_m, info_m = sp.minres(A.to_dia(), b, M=M, tol=1e-10, max_iter=2000)
+    info_m.raise_if_error()  # symmetric apply passes the beta^2 gate
+    _, info_0 = sp.minres(A.to_dia(), b, tol=1e-10, max_iter=2000)
+    assert int(info_m.iterations) < int(info_0.iterations)
+    x_c, info_c = sp.cg(A.to_dia(), b, M=M, tol=1e-10, max_iter=2000)
+    info_c.raise_if_error()
+    r = np.asarray(A.matvec(x_c)) - np.asarray(b)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-8
