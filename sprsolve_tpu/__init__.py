@@ -39,6 +39,7 @@ from .solvers import (
     gauss_seidel,
     gauss_seidel_redblack,
     gmres,
+    lobpcg,
     lsqr,
     greedy_color,
     minres,
@@ -63,6 +64,7 @@ __all__ = [
     "block_cg",
     "cg",
     "gmres",
+    "lobpcg",
     "lsqr",
     "minres",
     "cs_minres",

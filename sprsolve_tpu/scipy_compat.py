@@ -28,7 +28,9 @@ from .errors import BreakDown, InvalidPreconditioner, Status, ZeroDiagonalElem
 from .ops.operator import as_operator
 from .sparse.containers import CSR, csr_from_scipy
 
-__all__ = ["aslinearoperator", "bicgstab", "cg", "gmres", "lsqr", "minres"]
+__all__ = [
+    "aslinearoperator", "bicgstab", "cg", "gmres", "lobpcg", "lsqr", "minres",
+]
 
 
 def _is_scipy_sparse(a) -> bool:
@@ -152,6 +154,31 @@ def minres(A, b, x0=None, *, shift: float = 0.0, rtol: float = 1e-5,
     if shift != 0.0:
         raise NotImplementedError("minres shift is not supported")
     return _run("minres", A, b, x0, rtol, 0.0, maxiter, M)
+
+
+def lobpcg(A, X, B=None, M=None, Y=None, tol=None, maxiter: int = 20,
+           largest: bool = True, verbosityLevel: int = 0):
+    """``scipy.sparse.linalg.lobpcg`` conventions (standard problem only).
+
+    Returns ``(w, v)``.  ``B`` (generalized problem) and ``Y`` (constraints)
+    are unsupported; ``largest`` defaults to True as in scipy.
+    """
+    if B is not None or Y is not None:
+        raise NotImplementedError("lobpcg B/Y are not supported")
+    from .solvers import lobpcg as _lobpcg
+
+    X = jnp.asarray(X)
+    if tol is None:
+        tol = float(np.sqrt(np.finfo(np.asarray(X).dtype).eps))
+    op = aslinearoperator(A)
+    if M is not None:
+        M = aslinearoperator(M)
+    w, v, _info = _lobpcg(
+        op, X, M=M, largest=largest, tol=tol, max_iter=maxiter
+    )
+    if largest:  # scipy returns descending for largest
+        return w[::-1], v[:, ::-1]
+    return w, v
 
 
 def lsqr(A, b, damp: float = 0.0, atol: float = 1e-6, btol: float = 1e-6,

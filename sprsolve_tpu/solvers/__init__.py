@@ -6,6 +6,7 @@ from .bicgstab import bicgstab
 from .block_cg import batched, block_cg
 from .cg import cg
 from .gmres import gmres
+from .lobpcg import lobpcg
 from .lsqr import lsqr
 from .minres import minres
 from .planes import with_real_planes
@@ -26,6 +27,7 @@ __all__ = [
     "block_cg",
     "cg",
     "gmres",
+    "lobpcg",
     "lsqr",
     "minres",
     "with_real_planes",

@@ -1,0 +1,106 @@
+"""LOBPCG block eigensolver: dense-eigh oracles, preconditioning, complex."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sprsolve_tpu as sp
+from sprsolve_tpu.utils import problems
+
+
+def _spd_poisson(side=16):
+    A, _ = problems.sym_grid_laplacian((side, side))
+    dense = -np.asarray(A.todense())
+    return sp.csr_from_dense(dense), dense
+
+
+def test_smallest_pairs_match_dense_eigh():
+    A, dense = _spd_poisson()
+    ev = np.linalg.eigvalsh(dense)
+    X0 = jnp.asarray(np.random.default_rng(0).standard_normal((256, 4)))
+    lam, X, info = sp.lobpcg(A, X0, tol=1e-9, max_iter=400)
+    info.raise_if_error()
+    np.testing.assert_allclose(np.asarray(lam), ev[:4], atol=1e-7)
+    # eigenvector residuals against the dense matrix
+    Xn = np.asarray(X)
+    R = dense @ Xn - Xn * np.asarray(lam)[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-6
+    # orthonormality
+    np.testing.assert_allclose(Xn.T @ Xn, np.eye(4), atol=1e-8)
+
+
+def test_largest_pairs():
+    A, dense = _spd_poisson()
+    ev = np.linalg.eigvalsh(dense)
+    X0 = jnp.asarray(np.random.default_rng(1).standard_normal((256, 3)))
+    lam, _, info = sp.lobpcg(A, X0, largest=True, tol=1e-9, max_iter=400)
+    info.raise_if_error()
+    np.testing.assert_allclose(np.asarray(lam), ev[-3:], atol=1e-7)
+
+
+def test_preconditioning_accelerates():
+    A, dense = _spd_poisson()
+    X0 = jnp.asarray(np.random.default_rng(2).standard_normal((256, 4)))
+    _, _, info_0 = sp.lobpcg(A.to_dia(), X0, tol=1e-8, max_iter=400)
+    M = sp.ChebyshevPrecond.auto(A.to_dia(), degree=8)
+    lam, _, info_p = sp.lobpcg(A.to_dia(), X0, M=M, tol=1e-8, max_iter=400)
+    info_p.raise_if_error()
+    assert int(info_p.iterations) < int(info_0.iterations) // 2
+    ev = np.linalg.eigvalsh(dense)
+    np.testing.assert_allclose(np.asarray(lam), ev[:4], atol=1e-6)
+
+
+def test_complex_hermitian():
+    rng = np.random.default_rng(3)
+    n = 80
+    h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    dense = (h + h.conj().T) / 2
+    A = sp.csr_from_dense(dense)
+    ev = np.linalg.eigvalsh(dense)
+    X0 = jnp.asarray(
+        rng.standard_normal((n, 3)) + 1j * rng.standard_normal((n, 3))
+    )
+    lam, X, info = sp.lobpcg(A, X0, tol=1e-9, max_iter=600)
+    info.raise_if_error()
+    np.testing.assert_allclose(np.asarray(lam), ev[:3], atol=1e-6)
+    Xn = np.asarray(X)
+    R = dense @ Xn - Xn * np.asarray(lam)[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-5
+
+
+def test_under_jit():
+    A, dense = _spd_poisson(10)
+    X0 = jnp.asarray(np.random.default_rng(4).standard_normal((100, 2)))
+
+    run = jax.jit(lambda a, x0: sp.lobpcg(a, x0, tol=1e-8, max_iter=300))
+    lam, _, info = run(A.to_dia(), X0)
+    info.raise_if_error()
+    ev = np.linalg.eigvalsh(dense)
+    np.testing.assert_allclose(np.asarray(lam), ev[:2], atol=1e-6)
+
+
+def test_insufficient_iterations_status():
+    A, _ = _spd_poisson()
+    X0 = jnp.asarray(np.random.default_rng(5).standard_normal((256, 4)))
+    _, _, info = sp.lobpcg(A, X0, tol=1e-12, max_iter=2)
+    assert int(info.status) == sp.errors.Status.INSUFFICIENT_ITER
+
+
+def test_block_too_large_raises():
+    import pytest
+
+    A, _ = _spd_poisson(4)
+    with pytest.raises(sp.errors.IncompatibleMatrixFormat):
+        sp.lobpcg(A, jnp.zeros((16, 6)), tol=1e-8, max_iter=10)
+
+
+def test_scipy_compat_lobpcg():
+    from sprsolve_tpu import scipy_compat
+
+    A, dense = _spd_poisson()
+    X0 = np.random.default_rng(6).standard_normal((256, 4))
+    w, v = scipy_compat.lobpcg(A, X0, tol=1e-8, maxiter=400)
+    ev = np.linalg.eigvalsh(dense)
+    # scipy's lobpcg defaults to largest=True
+    np.testing.assert_allclose(np.sort(np.asarray(w)), ev[-4:], atol=1e-6)
+    assert np.asarray(v).shape == (256, 4)
