@@ -14,7 +14,12 @@ Public surface mirrors the reference re-exports (``src/lib.rs:15-21``).
 from . import debug, errors, precond, vecalg
 from .api import CG, GMRES, BiCGStab, CSMinRes, GaussSeidel, MinRes, PreparedSolver, prepare, solve
 from .errors import SolveInfo, SolverError, Status
-from .ops.operator import DiagonalOperator, IdentityOperator, LinearOperator
+from .ops.operator import (
+    DiagonalOperator,
+    IdentityOperator,
+    LinearOperator,
+    ShiftedOperator,
+)
 from .ops.optimize import optimize
 from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
 from .precond import (
@@ -88,6 +93,7 @@ __all__ = [
     "LinearOperator",
     "IdentityOperator",
     "DiagonalOperator",
+    "ShiftedOperator",
     "DiagPrecond",
     "BlockJacobiPrecond",
     "ChebyshevPrecond",

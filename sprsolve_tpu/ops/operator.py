@@ -143,3 +143,57 @@ class _DenseOperator:
 
 
 jax.tree_util.register_dataclass(_DenseOperator, data_fields=("a",), meta_fields=())
+
+
+@dataclasses.dataclass(frozen=True)
+class ShiftedOperator:
+    """y = A·x − shift·x, without materializing A − shift·I.
+
+    Wraps any operator; the shift rides the same pass as the SpMV (XLA fuses
+    the axpy into the operator's output write).  Enables spectral
+    transformations — ``scipy.sparse.linalg.minres(..., shift=σ)`` parity,
+    shift-invert-style eigencomputations, Helmholtz-like A − σI solves —
+    for every execution layout, including the padded Pallas kernels (the
+    wrapper forwards ``pad_vec``/``unpad_vec``/``jacobi_precond`` so a
+    shifted PaddedDIA still runs in its internal layout).
+    """
+
+    A: object
+    shift: jax.Array  # scalar
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+    @property
+    def dtype(self):
+        return getattr(self.A, "dtype", None)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return self.A.matvec(x) - self.shift * x
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+    def matmat(self, X: jax.Array) -> jax.Array:
+        if hasattr(self.A, "matmat"):
+            return self.A.matmat(X) - self.shift * X
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(X)
+
+    # forward the padded-layout protocol so shifted kernel operators keep
+    # solving in their internal layout
+    def __getattr__(self, name):
+        if name in ("pad_vec", "unpad_vec"):
+            return getattr(self.A, name)
+        raise AttributeError(name)
+
+    def diagonal(self) -> jax.Array:
+        return self.A.diagonal() - self.shift
+
+
+jax.tree_util.register_dataclass(
+    ShiftedOperator, data_fields=("A", "shift"), meta_fields=()
+)

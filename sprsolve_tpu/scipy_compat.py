@@ -150,10 +150,23 @@ def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
 
 def minres(A, b, x0=None, *, shift: float = 0.0, rtol: float = 1e-5,
            maxiter: Optional[int] = None, M=None):
-    """``scipy.sparse.linalg.minres`` conventions (``shift`` unsupported)."""
+    """``scipy.sparse.linalg.minres`` conventions.
+
+    ``shift`` solves (A − shift·I)·x = b via
+    :class:`~sprsolve_tpu.ops.operator.ShiftedOperator` (the operator wrapper
+    keeps the SpMV layout; XLA fuses the shift axpy into the SpMV pass).
+    """
     if shift != 0.0:
-        raise NotImplementedError("minres shift is not supported")
+        from .ops.operator import ShiftedOperator
+
+        op = aslinearoperator(A)
+        A = ShiftedOperator(A=op, shift=jnp.asarray(shift, _op_dtype(op, b)))
     return _run("minres", A, b, x0, rtol, 0.0, maxiter, M)
+
+
+def _op_dtype(op, b):
+    dt = getattr(op, "dtype", None)
+    return dt if dt is not None else jnp.asarray(b).dtype
 
 
 def lobpcg(A, X, B=None, M=None, Y=None, tol=None, maxiter: int = 20,

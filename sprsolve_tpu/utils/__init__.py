@@ -1,6 +1,7 @@
 """Utilities: test/bench problem generators and timing harness."""
 
 from . import timing
+from .io import mmread, mmwrite
 from .problems import (
     grid_laplacian_dirichlet,
     set_boundary_condition,
@@ -13,6 +14,8 @@ from .problems import (
 )
 
 __all__ = [
+    "mmread",
+    "mmwrite",
     "grid_laplacian_dirichlet",
     "set_boundary_condition",
     "sym_grid_laplacian",

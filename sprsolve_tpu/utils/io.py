@@ -1,0 +1,183 @@
+"""Matrix Market IO — pure NumPy, no scipy dependency.
+
+The standard interchange format of the sparse-matrix world (SuiteSparse,
+matrix collections, every solver benchmark suite); the reference reads its
+matrices from code generators only, but any user switching a real workload
+to this framework arrives with ``.mtx`` files.  Supports the full
+coordinate/array × real/complex/integer/pattern × general/symmetric/
+skew-symmetric/hermitian grid of the MM spec.
+
+``mmread`` returns a :class:`~sprsolve_tpu.sparse.containers.CSR` for
+coordinate files (duplicates summed, symmetry expanded) and a NumPy array
+for array files.  ``mmwrite`` writes coordinate format from CSR/COO (or any
+dense array as array format).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _parse_header(line: str):
+    parts = line.strip().split()
+    if len(parts) != 5 or parts[0] != "%%MatrixMarket" or parts[1].lower() != "matrix":
+        raise ValueError(f"not a MatrixMarket matrix file: {line.strip()!r}")
+    fmt, field, sym = parts[2].lower(), parts[3].lower(), parts[4].lower()
+    if fmt not in ("coordinate", "array"):
+        raise ValueError(f"unknown MatrixMarket format {fmt!r}")
+    if field not in ("real", "complex", "integer", "pattern"):
+        raise ValueError(f"unknown MatrixMarket field {field!r}")
+    if sym not in ("general", "symmetric", "skew-symmetric", "hermitian"):
+        raise ValueError(f"unknown MatrixMarket symmetry {sym!r}")
+    return fmt, field, sym
+
+
+def _expand_symmetry(row, col, val, sym):
+    if sym == "general":
+        return row, col, val
+    off = row != col
+    r2, c2, v2 = col[off], row[off], val[off]
+    if sym == "hermitian":
+        v2 = np.conj(v2)
+    elif sym == "skew-symmetric":
+        v2 = -v2
+    return (
+        np.concatenate([row, r2]),
+        np.concatenate([col, c2]),
+        np.concatenate([val, v2]),
+    )
+
+
+def mmread(source):
+    """Read a Matrix Market file (path, path-like, or open text file).
+
+    Coordinate files → CSR (symmetry expanded, duplicates summed);
+    array files → dense ``np.ndarray`` (column-major fill per the spec).
+    """
+    from ..sparse.containers import COO, CSR
+
+    if hasattr(source, "read"):
+        lines = iter(source.read().splitlines())
+    else:
+        with open(source, "r") as f:
+            lines = iter(f.read().splitlines())
+
+    fmt, field, sym = _parse_header(next(lines))
+    data_lines = (l for l in lines if l.strip() and not l.lstrip().startswith("%"))
+    size_parts = next(data_lines).split()
+
+    if field == "complex":
+        dtype = np.complex128
+    elif field == "integer":
+        dtype = np.int64
+    else:
+        dtype = np.float64
+
+    if fmt == "array":
+        m, n = int(size_parts[0]), int(size_parts[1])
+        vals = []
+        for l in data_lines:
+            p = l.split()
+            vals.append(
+                complex(float(p[0]), float(p[1])) if field == "complex"
+                else float(p[0])
+            )
+        a = np.zeros((m, n), dtype=dtype)
+        if sym == "general":
+            a = np.asarray(vals, dtype=dtype).reshape((n, m)).T  # column-major
+        else:
+            # lower triangle stored column by column; mirror the strict part
+            it = iter(vals)
+            for j in range(n):
+                for i in range(j, m):
+                    a[i, j] = next(it)
+            upper = a.T
+            if sym == "hermitian":
+                upper = np.conj(upper)
+            elif sym == "skew-symmetric":
+                upper = -upper
+            a = a + np.triu(upper, 1)
+        return a
+
+    m, n, nnz = int(size_parts[0]), int(size_parts[1]), int(size_parts[2])
+    row = np.empty(nnz, dtype=np.int64)
+    col = np.empty(nnz, dtype=np.int64)
+    val = np.empty(nnz, dtype=dtype)
+    for idx in range(nnz):
+        p = next(data_lines).split()
+        row[idx] = int(p[0]) - 1
+        col[idx] = int(p[1]) - 1
+        if field == "pattern":
+            val[idx] = 1
+        elif field == "complex":
+            val[idx] = complex(float(p[2]), float(p[3]))
+        else:
+            val[idx] = dtype(float(p[2]))
+    row, col, val = _expand_symmetry(row, col, val, sym)
+    return CSR.from_coo(COO(data=val, row=row.astype(np.int32),
+                            col=col.astype(np.int32), shape=(m, n)))
+
+
+def mmwrite(target, a, comment: str = "", symmetry: str = "general"):
+    """Write ``a`` (CSR/COO → coordinate; dense ndarray → array format).
+
+    ``symmetry='symmetric'`` stores only the lower triangle (caller asserts
+    the matrix is symmetric; entries above the diagonal are dropped).
+    """
+    close = False
+    if hasattr(target, "write"):
+        f = target
+    else:
+        f = open(target, "w")
+        close = True
+    try:
+        _mmwrite_impl(f, a, comment, symmetry)
+    finally:
+        if close:
+            f.close()
+
+
+def _fmt_val(v, field):
+    if field == "complex":
+        return f"{v.real:.17g} {v.imag:.17g}"
+    if field == "integer":
+        return str(int(v))
+    return f"{v:.17g}"
+
+
+def _mmwrite_impl(f, a, comment, symmetry):
+    from ..sparse.containers import COO, CSR
+
+    if isinstance(a, (CSR, COO)):
+        if isinstance(a, COO):
+            a = a.to_csr()
+        dat = np.asarray(a.data)
+        rows = np.asarray(a.row_ids, np.int64)
+        cols = np.asarray(a.indices, np.int64)
+        if np.iscomplexobj(dat):
+            field = "complex"
+        elif np.issubdtype(dat.dtype, np.integer):
+            field = "integer"
+        else:
+            field = "real"
+        if symmetry == "symmetric":
+            keep = rows >= cols
+            rows, cols, dat = rows[keep], cols[keep], dat[keep]
+        f.write(f"%%MatrixMarket matrix coordinate {field} {symmetry}\n")
+        for line in comment.splitlines():
+            f.write(f"% {line}\n")
+        f.write(f"{a.shape[0]} {a.shape[1]} {len(dat)}\n")
+        for r, c, v in zip(rows, cols, dat):
+            f.write(f"{r + 1} {c + 1} {_fmt_val(v, field)}\n")
+        return
+
+    arr = np.asarray(a)
+    if arr.ndim != 2:
+        raise ValueError("mmwrite needs a matrix (2-D) input")
+    field = "complex" if np.iscomplexobj(arr) else "real"
+    f.write(f"%%MatrixMarket matrix array {field} general\n")
+    for line in comment.splitlines():
+        f.write(f"% {line}\n")
+    f.write(f"{arr.shape[0]} {arr.shape[1]}\n")
+    for v in arr.T.ravel():  # column-major per the spec
+        f.write(_fmt_val(v, field) + "\n")
