@@ -11,7 +11,7 @@ operators under ``shard_map`` with psum inner products and halo exchange.
 Public surface mirrors the reference re-exports (``src/lib.rs:15-21``).
 """
 
-from . import debug, errors, precond, vecalg
+from . import debug, errors, multigrid, precond, vecalg
 from .api import CG, GMRES, BiCGStab, CSMinRes, GaussSeidel, MinRes, PreparedSolver, prepare, solve
 from .errors import SolveInfo, SolverError, Status
 from .ops.operator import (
@@ -22,6 +22,7 @@ from .ops.operator import (
 )
 from .ops.optimize import optimize
 from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
+from .multigrid import GridMGPrecond
 from .precond import (
     BlockJacobiPrecond,
     ChebyshevPrecond,
@@ -96,6 +97,7 @@ __all__ = [
     "ShiftedOperator",
     "DiagPrecond",
     "BlockJacobiPrecond",
+    "GridMGPrecond",
     "ChebyshevPrecond",
     "estimate_spectral_bounds",
     "ILU0Precond",

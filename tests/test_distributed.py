@@ -139,3 +139,17 @@ def test_distributed_cg():
     r = np.asarray(A.matvec(x)) - rhs
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-10
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_local), atol=1e-8)
+
+
+def test_distributed_gmres():
+    """GMRES's psum'd CGS2 Arnoldi reductions under shard_map: the Krylov
+    basis (n, m) shards with the rows; restarts must converge to the
+    single-chip answer on a nonsymmetric system."""
+    A, rhs = _dirichlet((16, 16))
+    from functools import partial
+
+    gmres16 = partial(sp.gmres, restart=16)
+    x, info = distributed_solve(gmres16, A.to_dia(), rhs, tol=1e-12, max_iter=600)
+    info.raise_if_error()
+    r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-10
