@@ -68,8 +68,21 @@ def _interpret_now() -> bool:
 
 def _pallas_call(kernel, **kwargs):
     """Package-local pallas_call: every kernel in this package routes through
-    here so the CPU-oracle interpreter mode can be switched on centrally."""
-    return pl.pallas_call(kernel, interpret=_interpret_now(), **kwargs)
+    here so the CPU-oracle interpreter mode can be switched on centrally.
+
+    The scoped-VMEM budget is raised from the 16M default to 64M (of the
+    chip's 128M): the working set scales with the halo height (hr grows with
+    the bandwidth/lanes ratio), and at 10M-row stencils the autotuned 512-row
+    block plus double-buffering tips just past 16M — observed as a Mosaic
+    "out of memory in memory space vmem" at bench scale, while the same
+    kernel at 1M rows fits."""
+    interp = _interpret_now()
+    if not interp:
+        kwargs.setdefault(
+            "compiler_params",
+            pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        )
+    return pl.pallas_call(kernel, interpret=interp, **kwargs)
 
 
 def _band_accumulate(bands_ref, window, *, offsets, hr, lanes, br, dtype):
