@@ -1,0 +1,112 @@
+"""Tour of the framework surface: every solver family and preconditioner on
+small problems, with true-residual checks.  A user of the reference crate
+switching over can skim this file to find each capability.
+
+Run: python examples/tour.py   (CPU is fine; Pallas kernels auto-interpret)
+"""
+
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+import sprsolve_tpu as sp
+from sprsolve_tpu import scipy_compat
+from sprsolve_tpu.utils import mmread, mmwrite, problems
+
+
+def relres(A, x, b):
+    r = np.asarray(A.matvec(jnp.asarray(x, jnp.result_type(b)))) - b
+    return np.linalg.norm(r) / np.linalg.norm(b)
+
+
+# --- the reference's own flagship workload -------------------------------
+A = problems.grid_laplacian_dirichlet((20, 20))
+b = np.zeros(400)
+problems.set_boundary_condition(b, (20, 20), lambda r, c: float(r + c))
+
+x, (iters, res) = sp.BiCGStab.new(A, 400).solve(b, max_iter=1500, tol=1e-15)
+print(f"BiCGStab (object API):      {iters:4d} iters  rel-res {relres(A, x, b):.2e}")
+
+x, info = sp.solve(A, b, M="jacobi", tol=1e-15, max_iter=1500)
+print(f"BiCGStab + Jacobi:          {int(info.iterations):4d} iters  rel-res {relres(A, x, b):.2e}")
+
+# --- SPD path: CG / MINRES with the stronger preconditioners --------------
+Aspd = sp.csr_from_dense(-np.asarray(problems.sym_grid_laplacian((24, 24))[0].todense()))
+bspd = np.random.default_rng(0).standard_normal(576)
+
+for name, M in [
+    ("CG  + block-Jacobi", sp.BlockJacobiPrecond.from_csr(Aspd, block_size=16)),
+    ("CG  + IC(0)", sp.IC0Precond.from_csr(Aspd)),
+    ("CG  + Chebyshev(auto)", sp.ChebyshevPrecond.auto(Aspd.to_dia(), degree=6)),
+    ("CG  + multigrid", sp.GridMGPrecond.from_csr(Aspd, (24, 24), coarse_max=36)),
+]:
+    x, info = sp.solve(Aspd, bspd, method="cg", M=M, tol=1e-10, max_iter=2000)
+    print(f"{name:27s} {int(info.iterations):4d} iters  rel-res {relres(Aspd, x, bspd):.2e}")
+
+colors = sp.greedy_color(Aspd)
+ssor = sp.MaskedGSPrecond(
+    A=Aspd.to_dia(), diag=Aspd.diagonal(), masks=sp.color_masks(colors),
+    omega=1.5, symmetric=True,
+)
+x, info = sp.solve(Aspd, bspd, method="minres", M=ssor, tol=1e-10, max_iter=2000)
+print(f"{'MINRES + SSOR':27s} {int(info.iterations):4d} iters  rel-res {relres(Aspd, x, bspd):.2e}")
+
+# --- general nonsymmetric: GMRES ------------------------------------------
+x, info = sp.solve(A, b, method="gmres", restart=32, tol=1e-12, max_iter=1000)
+print(f"{'GMRES(32)':27s} {int(info.iterations):4d} iters  rel-res {relres(A, x, b):.2e}")
+
+# --- complex symmetric: CS-MINRES (the solver the reference never tests) --
+Ac, bc, _diag = problems.complex_symmetric_grid_with_diag((12, 12))
+xc, info = sp.cs_minres(Ac, jnp.asarray(bc), tol=1e-12, max_iter=600)
+rc = np.asarray(Ac.matvec(jnp.asarray(xc))) - bc
+print(f"{'CS-MINRES (c128)':27s} {int(info.iterations):4d} iters  "
+      f"rel-res {np.linalg.norm(rc) / np.linalg.norm(bc):.2e}")
+
+# --- least squares: LSQR ---------------------------------------------------
+rng = np.random.default_rng(1)
+dense = rng.standard_normal((120, 40)) * (rng.random((120, 40)) < 0.2)
+dense[np.arange(40), np.arange(40)] += 3.0
+Als = sp.csr_from_dense(dense)
+bls = rng.standard_normal(120)
+xls, info = sp.solve(Als, bls, method="lsqr", tol=1e-12, max_iter=400)
+nrm = np.linalg.norm(dense.T @ (bls - dense @ np.asarray(xls)))
+print(f"{'LSQR (120x40)':27s} {int(info.iterations):4d} iters  ||A^T r|| {nrm:.2e}")
+
+# --- eigenpairs: LOBPCG ----------------------------------------------------
+X0 = jnp.asarray(rng.standard_normal((576, 3)))
+lam, V, info = sp.lobpcg(
+    Aspd, X0, M=sp.GridMGPrecond.from_csr(Aspd, (24, 24), coarse_max=36),
+    tol=1e-8, max_iter=200,
+)
+print(f"{'LOBPCG smallest 3':27s} {int(info.iterations):4d} iters  "
+      f"lambda = {np.array2string(np.asarray(lam), precision=4)}")
+
+# --- file IO: Matrix Market round trip ------------------------------------
+buf = io.StringIO()
+mmwrite(buf, A, comment="Dirichlet Laplacian from the tour")
+buf.seek(0)
+A_rt = mmread(buf)
+x, info = sp.solve(A_rt, b, tol=1e-12, max_iter=1500)
+print(f"{'mmread/mmwrite round trip':27s} {int(info.iterations):4d} iters  rel-res {relres(A, x, b):.2e}")
+
+# --- scipy drop-in ---------------------------------------------------------
+x, code = scipy_compat.bicgstab(A, b, rtol=1e-12)
+print(f"{'scipy_compat.bicgstab':27s} code {code}  rel-res {relres(A, x, b):.2e}")
+
+# --- amortized re-solves ---------------------------------------------------
+handle = sp.prepare(A, M="jacobi", tol=1e-12, max_iter=1500)
+x1, _ = handle(b)
+x2, info2 = handle(np.roll(b, 7), x0=x1)  # warm start from the last solution
+print(f"{'prepare() re-solve':27s} {int(info2.iterations):4d} iters (warm-started)")
+
+print("tour complete.")

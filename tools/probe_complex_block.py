@@ -22,7 +22,7 @@ x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
 def rtt():
     t0 = time.perf_counter(); jax.device_get(jnp.zeros(())); return time.perf_counter() - t0
 
-for br in (128, 192, 256):
+for br in (192, 256, 384, 512):
     try:
         cop = ComplexPaddedDIA.from_dia(
             _DIA(bands=cbands, offsets=dia.offsets, shape=dia.shape), block_rows=br
