@@ -47,11 +47,12 @@ from ..sparse.containers import DIA
 LANES = 512
 BLOCK_ROWS = 512
 # the complex two-plane kernel holds ~2x the real kernel's VMEM working set
-# (two band planes, two x windows, two outputs); 512-row blocks overflow the
-# 16M scoped-vmem limit on v5e (33.7M) and even 256 grazes it (16.83M).
-# Probed on-chip (tools/probe_complex_block.py): 192 -> 117.2 Gcnnz/s,
-# 128 -> 113.1, 256+ -> compile OOM.
-COMPLEX_BLOCK_ROWS = 192
+# (two band planes, two x windows, two outputs). Under the old 16M scoped-
+# vmem budget 256-row blocks grazed the limit (16.83M) and 192 was the
+# ceiling; with the 64M budget (_pallas_call) the on-chip probe
+# (tools/probe_complex_block.py) reads: 192 -> 107.1 Gcnnz/s,
+# 256 -> 130.1, 384 -> 92.9, 512 -> 100.5. 256 wins.
+COMPLEX_BLOCK_ROWS = 256
 
 # interpreter-mode flag read at trace time; debug.interpret_kernels toggles it
 # (and clears the jit caches) instead of monkey-patching the pallas module.

@@ -33,7 +33,8 @@ def main():
     x = jnp.asarray(rng.standard_normal(A.shape[0]).astype(np.float32))
 
     for lanes, block_rows in [
-        (256, 256), (512, 512), (512, 256), (256, 512),
+        (512, 512), (512, 640), (512, 768), (512, 1024),
+        (1024, 256), (1024, 512), (256, 1024),
     ]:
         try:
             p = PaddedDIA.from_dia(dia, lanes=lanes, block_rows=block_rows)
