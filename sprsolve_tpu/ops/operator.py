@@ -154,8 +154,9 @@ class ShiftedOperator:
     transformations — ``scipy.sparse.linalg.minres(..., shift=σ)`` parity,
     shift-invert-style eigencomputations, Helmholtz-like A − σI solves —
     for every execution layout, including the padded Pallas kernels (the
-    wrapper forwards ``pad_vec``/``unpad_vec``/``jacobi_precond`` so a
-    shifted PaddedDIA still runs in its internal layout).
+    wrapper forwards ``pad_vec``/``unpad_vec`` so a shifted PaddedDIA still
+    runs in its internal layout; build Jacobi preconditioners from
+    ``diagonal()``, which includes the shift).
     """
 
     A: object

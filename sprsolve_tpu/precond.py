@@ -204,9 +204,12 @@ def estimate_spectral_bounds(A, x_example=None, *, m: int = 30, seed: int = 0,
 
     if x_example is None:
         n = A.shape[0]
+        dt = getattr(A, "dtype", None) or jnp.float32
+        rdt0 = jnp.finfo(dt).dtype if not jnp.issubdtype(dt, jnp.complexfloating) \
+            else jnp.real(jnp.zeros((), dt)).dtype
         x = jnp.asarray(
-            np.random.default_rng(seed).standard_normal(n), jnp.float32
-        )
+            np.random.default_rng(seed).standard_normal(n), rdt0
+        ).astype(dt)
     else:
         x = jnp.asarray(x_example)
     mv = jax.jit(A.matvec)
