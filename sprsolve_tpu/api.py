@@ -210,11 +210,24 @@ class PreparedSolver:
         x2, info2 = handle(b2, x0=x1)   # previous solution as initial guess
     """
 
-    def __init__(self, op, solver, kwargs, n):
+    def __init__(self, op, solver, kwargs, n, complex_planes=False):
         self._op = op
         self._padded = hasattr(op, "pad_vec")
         self._n = n
-        self._run = jax.jit(partial(solver, **kwargs))
+        self._complex = complex_planes
+        if complex_planes:
+            # complex vectors cross the jit boundary as real planes (same
+            # scheme as solve(); see solvers/planes.py)
+            from .solvers import with_real_planes
+
+            inner = partial(solver, **kwargs)
+            self._run = jax.jit(
+                lambda a, br, bi, xr0, xi0: with_real_planes(inner)(
+                    a, br, bi, xr0, xi0
+                )
+            )
+        else:
+            self._run = jax.jit(partial(solver, **kwargs))
 
     @property
     def operator(self):
@@ -233,6 +246,16 @@ class PreparedSolver:
             x0_run = None if x0 is None else self._op.pad_vec(x0)
         else:
             b_run, x0_run = b, x0
+        if self._complex:
+            if x0_run is None:
+                x0_re = x0_im = jnp.zeros_like(jnp.real(b_run))
+            else:
+                x0_re, x0_im = jnp.real(x0_run), jnp.imag(x0_run)
+            xr, xi, info = self._run(
+                self._op, jnp.real(b_run), jnp.imag(b_run), x0_re, x0_im
+            )
+            x = xr + 1j * xi
+            return (self._op.unpad_vec(x) if self._padded else x), info
         x_run, info = self._run(self._op, b_run, x0_run)
         if self._padded:
             return self._op.unpad_vec(x_run), info
@@ -256,17 +279,19 @@ def prepare(
     """
     solver = _SOLVERS[method]
     op, M, padded = _prepare_op_M(A, method, M, optimize_layout)
-    if padded and hasattr(A, "data") and jnp.iscomplexobj(jnp.asarray(A.data)):
-        raise NotImplementedError(
-            "prepare() does not support the complex padded path yet; "
-            "use solve() per call"
-        )
+    import numpy as np
+
+    complex_planes = padded and hasattr(A, "data") and np.iscomplexobj(
+        np.asarray(A.data)
+    )
     if method == "lsqr" and "AH" not in solver_kwargs:
         solver_kwargs["AH"] = op.adjoint()  # host-side build, before the jit
     kwargs = dict(tol=tol, max_iter=max_iter, **solver_kwargs)
     if M is not None:
         kwargs["M"] = M
-    return PreparedSolver(op, solver, kwargs, A.shape[0])
+    return PreparedSolver(
+        op, solver, kwargs, A.shape[0], complex_planes=complex_planes
+    )
 
 
 class BiCGStab:

@@ -1,6 +1,7 @@
 """Top-level solve() convenience: layout auto-selection + padding handled."""
 
 
+import jax.numpy as jnp
 import numpy as np
 
 import sprsolve_tpu as sp
@@ -122,3 +123,26 @@ def test_prepare_reuses_layout_across_rhs():
 
     with pytest.raises(IncompatibleMatrixFormat):
         handle(np.ones(13, np.float32))
+
+
+def test_prepare_complex_padded_planes():
+    """prepare() on a complex system whose layout optimizes to the padded
+    two-plane kernel operator: vectors cross the jit boundary as real
+    planes; re-solves and warm starts work like the real path."""
+    A, rhs, _diag = problems.complex_symmetric_grid_with_diag((8, 8))
+    A32 = sp.CSR.from_arrays(
+        np.asarray(A.data, np.complex64), A.indices, A.indptr, A.shape
+    )
+    handle = sp.prepare(A32, method="cs_minres", tol=1e-6, max_iter=500)
+    from sprsolve_tpu.ops.pallas_spmv import ComplexPaddedDIA
+
+    assert isinstance(handle.operator, ComplexPaddedDIA)
+    b = np.asarray(rhs, np.complex64)
+    x1, info1 = handle(b)
+    info1.raise_if_error()
+    r = np.asarray(A32.matvec(jnp.asarray(x1))) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4
+    # second rhs, warm-started from the first solution
+    x2, info2 = handle(b * (0.5 + 0.25j), x0=x1 * (0.5 + 0.25j))
+    info2.raise_if_error()
+    assert int(info2.iterations) <= 2
