@@ -15,6 +15,6 @@ All containers are registered pytrees, so they pass through ``jax.jit``,
 """
 
 from .bsr import BSR
-from .containers import COO, CSC, CSR, ELL, DIA, csr_from_scipy, csr_from_dense, reorder_rcm
+from .containers import COO, CSC, CSR, ELL, DIA, csr_from_bcoo, csr_from_scipy, csr_from_dense, reorder_rcm
 
-__all__ = ["BSR", "COO", "CSC", "CSR", "ELL", "DIA", "csr_from_scipy", "csr_from_dense", "reorder_rcm"]
+__all__ = ["BSR", "COO", "CSC", "CSR", "ELL", "DIA", "csr_from_bcoo", "csr_from_scipy", "csr_from_dense", "reorder_rcm"]

@@ -442,6 +442,27 @@ def csr_from_scipy(m) -> CSR:
     return CSR.from_arrays(m.data, m.indices, m.indptr, m.shape)
 
 
+def csr_from_bcoo(m) -> CSR:
+    """Build from a ``jax.experimental.sparse`` BCOO/BCSR matrix (interop for
+    users arriving from JAX's own sparse module). Duplicates are summed."""
+    if hasattr(m, "to_bcoo"):  # BCSR
+        m = m.to_bcoo()
+    idx = np.asarray(m.indices)
+    if idx.ndim != 2 or idx.shape[1] != 2 or np.asarray(m.data).ndim != 1:
+        raise ValueError(
+            "csr_from_bcoo supports unbatched rank-2 BCOO (n_batch=0, "
+            "n_dense=0)"
+        )
+    return CSR.from_coo(
+        COO(
+            data=np.asarray(m.data),
+            row=idx[:, 0].astype(np.int32),
+            col=idx[:, 1].astype(np.int32),
+            shape=tuple(m.shape),
+        )
+    )
+
+
 def csr_from_dense(a) -> CSR:
     """Build from a dense array (test convenience)."""
     a = np.asarray(a)

@@ -146,3 +146,22 @@ def test_solve_from_mtx_end_to_end():
 
     r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+
+def test_csr_from_bcoo_interop():
+    pytest.importorskip("jax.experimental.sparse")
+    from jax.experimental import sparse as jsparse
+
+    rng = np.random.default_rng(7)
+    dense = rng.standard_normal((9, 6)) * (rng.random((9, 6)) < 0.4)
+    bcoo = jsparse.BCOO.fromdense(dense)
+    A = sp.csr_from_bcoo(bcoo)
+    np.testing.assert_allclose(np.asarray(A.todense()), dense, atol=1e-14)
+    # and a solve through it (square case)
+    d2 = rng.standard_normal((20, 20)) * (rng.random((20, 20)) < 0.3)
+    d2 += np.eye(20) * 8.0
+    A2 = sp.csr_from_bcoo(jsparse.BCOO.fromdense(d2))
+    b = rng.standard_normal(20)
+    x, info = sp.solve(A2, b, tol=1e-12, max_iter=500)
+    info.raise_if_error()
+    assert np.linalg.norm(d2 @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-10
