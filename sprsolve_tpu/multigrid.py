@@ -149,7 +149,10 @@ class GridMGPrecond:
             if csr.shape[0] <= coarse_max or all(x == 1 for x in g):
                 break
             diag = np.asarray(csr.diagonal())
-            ops.append(optimize(csr, **layout_kwargs))
+            lvl_op = optimize(csr, **layout_kwargs)
+            if hasattr(lvl_op, "pad_vec"):  # Pallas layout: flat view
+                lvl_op = FlatViewOperator(op=lvl_op)
+            ops.append(lvl_op)
             dinvs.append(jnp.asarray(np.where(diag == 0, 1.0, 1.0 / diag)))
             grids.append(g)
             csr, g = _galerkin_coarse(csr, g)
@@ -202,4 +205,36 @@ jax.tree_util.register_dataclass(
     GridMGPrecond,
     data_fields=("ops", "dinvs", "coarse_inv"),
     meta_fields=("grids", "nu1", "nu2", "omega", "coarse_scale"),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatViewOperator:
+    """Flat-vector view of a padded-layout operator.
+
+    The V-cycle's smoothers and transfers work on flat (n,) vectors; a
+    Pallas ``PaddedDIA`` level operator works in its internal (rows, lanes)
+    layout.  This wrapper round-trips each apply — pad/unpad are reshapes
+    (~2 vector passes), cheap against the ~15 passes the XLA DIA path spends
+    per SpMV, so ``GridMGPrecond.from_csr(..., prefer_pallas=True)`` puts
+    the kernel on the smoothing path at a small fixed cost."""
+
+    op: object
+
+    @property
+    def shape(self):
+        return self.op.shape
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return self.op.unpad_vec(self.op.matvec(self.op.pad_vec(x)))
+
+    def matvec_dot(self, x: jax.Array):
+        from .vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+
+jax.tree_util.register_dataclass(
+    FlatViewOperator, data_fields=("op",), meta_fields=()
 )

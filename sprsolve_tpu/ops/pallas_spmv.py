@@ -39,19 +39,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..sparse.containers import DIA
 
-# autotuned on v5e (tools/tune_kernel2/3.py, post narrow-band storage):
-# (512, 512) ≈ 300-335 Gnnz/s vs (256, 256) ≈ 250-300 on the 1M-row 7-point
-# Poisson — the int8 band narrowing cut VMEM pressure enough that the larger
-# block now compiles (it crashed Mosaic with f32 bands) and wins in every
-# measured window. block_rows ≥ 768 still fails remote compile — avoid.
-LANES = 512
-BLOCK_ROWS = 512
+# autotuned on v5e (tools/tune_kernel2/3.py + /tmp probes, round 2, post
+# narrow-band storage and the 64M scoped-vmem budget). Forced-iteration
+# rtt-corrected numbers on the 1M-row 7-point Poisson, 4 runs each:
+#   lanes=1024 br=128: 360.7 Gnnz/s   e2e bicgstab 84.6 us/it, minres 28.0
+#   lanes=1024 br=256: 358.4 Gnnz/s   e2e bicgstab 88.7 us/it, minres 25.8
+#   lanes= 512 br=512: 288.8 Gnnz/s   e2e bicgstab 90.8 us/it, minres 28.3
+#   lanes= 512 br=768: 253.5 Gnnz/s   (earlier 768 compile failures were the
+#                                      16M scoped-vmem limit, not Mosaic)
+# 1024-lane rows cut the grid count and the per-row rotate count in half;
+# 256-row blocks chosen over 128 for the minres e2e and the complex kernel.
+LANES = 1024
+BLOCK_ROWS = 256
 # the complex two-plane kernel holds ~2x the real kernel's VMEM working set
 # (two band planes, two x windows, two outputs). Under the old 16M scoped-
 # vmem budget 256-row blocks grazed the limit (16.83M) and 192 was the
-# ceiling; with the 64M budget (_pallas_call) the on-chip probe
-# (tools/probe_complex_block.py) reads: 192 -> 107.1 Gcnnz/s,
-# 256 -> 130.1, 384 -> 92.9, 512 -> 100.5. 256 wins.
+# ceiling; with the 64M budget (_pallas_call) the on-chip probes read:
+# lanes=512:  192 -> 107.1 Gcnnz/s, 256 -> 130.1, 384 -> 92.9, 512 -> 100.5
+# lanes=1024: 128 -> 134.7, 192 -> 111.7, 256 -> 143.8. (1024, 256) wins.
 COMPLEX_BLOCK_ROWS = 256
 
 # interpreter-mode flag read at trace time; debug.interpret_kernels toggles it

@@ -129,3 +129,20 @@ def test_wrong_grid_raises():
     A = _spd_poisson2d(8)
     with pytest.raises(sp.errors.IncompatibleMatrixFormat):
         GridMGPrecond.from_csr(A, (8, 9))
+
+
+def test_prefer_pallas_levels_match_default():
+    A = problems.poisson3d(8, 8, 8)
+    b = jnp.asarray(np.random.default_rng(6).standard_normal(512))
+    M0 = GridMGPrecond.from_csr(A, (8, 8, 8), coarse_max=64)
+    Mp = GridMGPrecond.from_csr(
+        A, (8, 8, 8), coarse_max=64, prefer_pallas=True
+    )
+    from sprsolve_tpu.multigrid import FlatViewOperator
+
+    assert any(isinstance(o, FlatViewOperator) for o in Mp.ops)
+    z0 = np.asarray(M0.matvec(b))
+    zp = np.asarray(Mp.matvec(b))
+    np.testing.assert_allclose(zp, z0, rtol=1e-5, atol=1e-6)
+    x, info = sp.cg(A.to_dia(), b, M=Mp, tol=1e-8, max_iter=200)
+    info.raise_if_error()
