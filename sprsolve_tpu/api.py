@@ -157,6 +157,11 @@ def solve(
 
     op, M, padded = _prepare_op_M(A, method, M, optimize_layout)
     if method == "lsqr" and "AH" not in solver_kwargs:
+        if not hasattr(op, "adjoint"):
+            raise IncompatibleMatrixFormat(
+                "lsqr needs the adjoint operator: pass AH= (or use a CSR/CSC "
+                "container, whose adjoint is built automatically)"
+            )
         solver_kwargs["AH"] = op.adjoint()  # host-side build, before the jit
     if solver_kwargs:
         solver = partial(solver, **solver_kwargs)  # e.g. restart= for gmres
@@ -285,6 +290,11 @@ def prepare(
         np.asarray(A.data)
     )
     if method == "lsqr" and "AH" not in solver_kwargs:
+        if not hasattr(op, "adjoint"):
+            raise IncompatibleMatrixFormat(
+                "lsqr needs the adjoint operator: pass AH= (or use a CSR/CSC "
+                "container, whose adjoint is built automatically)"
+            )
         solver_kwargs["AH"] = op.adjoint()  # host-side build, before the jit
     kwargs = dict(tol=tol, max_iter=max_iter, **solver_kwargs)
     if M is not None:

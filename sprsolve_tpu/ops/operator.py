@@ -192,7 +192,32 @@ class ShiftedOperator:
         raise AttributeError(name)
 
     def diagonal(self) -> jax.Array:
-        return self.A.diagonal() - self.shift
+        """Flat shifted diagonal (padded inner operators are un-laid)."""
+        if hasattr(self.A, "diagonal"):
+            d = self.A.diagonal()
+        elif hasattr(self.A, "diagonal_padded"):
+            d = self.A.unpad_vec(self.A.diagonal_padded())
+        else:
+            raise AttributeError("diagonal")
+        return d - self.shift
+
+    def jacobi_precond(self):
+        """Jacobi preconditioner of the *shifted* operator: 1/(diag(A) − σ),
+        re-laid into the inner operator's internal layout when it has one
+        (the path solve(..., M='jacobi') takes for padded operators)."""
+        from ..precond import DiagPrecond
+
+        M = DiagPrecond.new(self.diagonal())
+        if hasattr(self.A, "relay_diag_precond"):
+            return self.A.relay_diag_precond(M)
+        return M
+
+    def relay_diag_precond(self, M):
+        if hasattr(self.A, "relay_diag_precond"):
+            return self.A.relay_diag_precond(M)
+        raise NotImplementedError(
+            "inner operator has no internal-layout diagonal relay"
+        )
 
 
 jax.tree_util.register_dataclass(

@@ -158,8 +158,13 @@ def minres(A, b, x0=None, *, shift: float = 0.0, rtol: float = 1e-5,
     """
     if shift != 0.0:
         from .ops.operator import ShiftedOperator
+        from .ops.optimize import optimize as _optimize
 
         op = aslinearoperator(A)
+        if isinstance(op, CSR):
+            # pick the execution layout *before* wrapping — solve() only
+            # optimizes raw containers, and the shift must ride the kernel
+            op = _optimize(op)
         A = ShiftedOperator(A=op, shift=jnp.asarray(shift, _op_dtype(op, b)))
     return _run("minres", A, b, x0, rtol, 0.0, maxiter, M)
 

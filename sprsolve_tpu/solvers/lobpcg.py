@@ -60,6 +60,7 @@ def _safe_colnormalize(X, key, rdt, tiny):
 
 class _State(NamedTuple):
     X: jax.Array       # (n, k) current Ritz vectors (orthonormal)
+    AX: jax.Array      # (n, k) A·X, carried so A is applied once per iter
     P: jax.Array       # (n, k) direction history (column-normalized)
     lam: jax.Array     # (k,) real Ritz values
     resmax: jax.Array  # max relative residual of the current pairs
@@ -106,7 +107,10 @@ def lobpcg(
     max_iter = jnp.asarray(max_iter, jnp.int32)
 
     def rayleigh_ritz(S):
-        """Orthonormalize S, project A, solve the small Hermitian problem."""
+        """Orthonormalize S, project A, solve the small Hermitian problem.
+
+        Returns (X, λ, A·X); A·X = (A·Q)·Y reuses the projection's SpMM, so
+        the whole iteration applies A exactly once (on the (n, 3k) basis)."""
         Q, _ = jnp.linalg.qr(S)
         AQ = _matmat(A, Q)
         Tm = Q.conj().T @ AQ
@@ -119,41 +123,40 @@ def lobpcg(
         else:
             lam = evals[:k]
             Y = V[:, :k]
-        return Q @ Y, lam
+        return Q @ Y, lam, AQ @ Y
 
     key0 = jax.random.key(0)
-    X, lam = rayleigh_ritz(X0)
+    X, lam, AX = rayleigh_ritz(X0)
     P0 = _safe_colnormalize(
         jnp.zeros_like(X), jax.random.fold_in(key0, 0), rdt, tiny
     )
 
-    def residual_info(X_, lam_):
-        AX = _matmat(A, X_)
-        R = AX - X_ * lam_[None, :].astype(T)
+    def residual_info(X_, lam_, AX_):
+        R = AX_ - X_ * lam_[None, :].astype(T)
         scale = jnp.abs(lam_) + jnp.max(jnp.abs(lam_))
         rel = _col_norms(R, rdt) / jnp.maximum(scale, tiny)
         return R, jnp.max(rel)
 
-    _, res0 = residual_info(X, lam)
+    _, res0 = residual_info(X, lam, AX)
     st = _State(
-        X=X, P=P0, lam=lam, resmax=res0, its=jnp.int32(0), key=key0
+        X=X, AX=AX, P=P0, lam=lam, resmax=res0, its=jnp.int32(0), key=key0
     )
 
     def cond_fn(s_):
         return (s_.its < max_iter) & (s_.resmax > tol)
 
     def body_fn(s_):
-        R, _ = residual_info(s_.X, s_.lam)
+        R, _ = residual_info(s_.X, s_.lam, s_.AX)
         W = R if M is None else _matmat(M, R)
         key = jax.random.fold_in(s_.key, s_.its + 1)
         W = _safe_colnormalize(W, jax.random.fold_in(key, 17), rdt, tiny)
         S = jnp.concatenate([s_.X, W, s_.P], axis=1)
-        X_new, lam_new = rayleigh_ritz(S)
+        X_new, lam_new, AX_new = rayleigh_ritz(S)
         P_new = X_new - s_.X @ (s_.X.conj().T @ X_new)
         P_new = _safe_colnormalize(P_new, jax.random.fold_in(key, 29), rdt, tiny)
-        _, resmax = residual_info(X_new, lam_new)
+        _, resmax = residual_info(X_new, lam_new, AX_new)
         return _State(
-            X=X_new, P=P_new, lam=lam_new, resmax=resmax,
+            X=X_new, AX=AX_new, P=P_new, lam=lam_new, resmax=resmax,
             its=s_.its + 1, key=s_.key,
         )
 

@@ -257,7 +257,11 @@ class MaskedGSPrecond:
         first = True
         order = tuple(self.masks)
         if self.symmetric:
-            order = order + order[::-1]
+            # palindrome without repeating the middle color: rows within a
+            # color have no coupling, so the textbook SSOR's back-to-back
+            # middle update would be an extra SpMV for (at ω=1 exactly) no
+            # change; the single-middle palindrome stays symmetric
+            order = order + order[::-1][1:]
         for _ in range(self.sweeps):
             for mask in order:
                 if first:

@@ -448,17 +448,22 @@ def csr_from_bcoo(m) -> CSR:
     if hasattr(m, "to_bcoo"):  # BCSR
         m = m.to_bcoo()
     idx = np.asarray(m.indices)
-    if idx.ndim != 2 or idx.shape[1] != 2 or np.asarray(m.data).ndim != 1:
+    dat = np.asarray(m.data)
+    if idx.ndim != 2 or idx.shape[1] != 2 or dat.ndim != 1:
         raise ValueError(
             "csr_from_bcoo supports unbatched rank-2 BCOO (n_batch=0, "
             "n_dense=0)"
         )
+    nrows, ncols = (int(s) for s in m.shape)
+    # BCOO pads unused nse slots with out-of-range indices (== shape);
+    # drop them instead of crashing in the CSR build
+    keep = (idx[:, 0] < nrows) & (idx[:, 1] < ncols)
     return CSR.from_coo(
         COO(
-            data=np.asarray(m.data),
-            row=idx[:, 0].astype(np.int32),
-            col=idx[:, 1].astype(np.int32),
-            shape=tuple(m.shape),
+            data=dat[keep],
+            row=idx[keep, 0].astype(np.int32),
+            col=idx[keep, 1].astype(np.int32),
+            shape=(nrows, ncols),
         )
     )
 

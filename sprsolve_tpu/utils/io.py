@@ -87,9 +87,11 @@ def mmread(source):
             a = np.asarray(vals, dtype=dtype).reshape((n, m)).T  # column-major
         else:
             # lower triangle stored column by column; mirror the strict part
+            # (skew-symmetric files omit the diagonal — it is implicitly 0)
             it = iter(vals)
             for j in range(n):
-                for i in range(j, m):
+                start = j + 1 if sym == "skew-symmetric" else j
+                for i in range(start, m):
                     a[i, j] = next(it)
             upper = a.T
             if sym == "hermitian":
@@ -121,8 +123,11 @@ def mmread(source):
 def mmwrite(target, a, comment: str = "", symmetry: str = "general"):
     """Write ``a`` (CSR/COO → coordinate; dense ndarray → array format).
 
-    ``symmetry='symmetric'`` stores only the lower triangle (caller asserts
-    the matrix is symmetric; entries above the diagonal are dropped).
+    ``symmetry`` ∈ {'general', 'symmetric', 'hermitian', 'skew-symmetric'}:
+    the non-general forms store only the lower triangle (strictly lower for
+    skew-symmetric — its diagonal is zero by definition); the caller asserts
+    the matrix actually has that symmetry, entries above the diagonal are
+    dropped rather than checked.
     """
     close = False
     if hasattr(target, "write"):
@@ -160,8 +165,14 @@ def _mmwrite_impl(f, a, comment, symmetry):
             field = "integer"
         else:
             field = "real"
-        if symmetry == "symmetric":
+        if symmetry not in ("general", "symmetric", "hermitian",
+                            "skew-symmetric"):
+            raise ValueError(f"unknown MatrixMarket symmetry {symmetry!r}")
+        if symmetry in ("symmetric", "hermitian"):
             keep = rows >= cols
+            rows, cols, dat = rows[keep], cols[keep], dat[keep]
+        elif symmetry == "skew-symmetric":
+            keep = rows > cols  # diagonal of a skew matrix is 0, not stored
             rows, cols, dat = rows[keep], cols[keep], dat[keep]
         f.write(f"%%MatrixMarket matrix coordinate {field} {symmetry}\n")
         for line in comment.splitlines():

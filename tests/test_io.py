@@ -165,3 +165,36 @@ def test_csr_from_bcoo_interop():
     x, info = sp.solve(A2, b, tol=1e-12, max_iter=500)
     info.raise_if_error()
     assert np.linalg.norm(d2 @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_bcoo_padded_nse():
+    from jax.experimental import sparse as jsparse
+
+    dense = np.array([[1.0, 0.0], [0.0, 2.0]])
+    b = jsparse.BCOO.fromdense(dense, nse=4)  # 2 real + 2 padding slots
+    A = sp.csr_from_bcoo(b)
+    np.testing.assert_allclose(np.asarray(A.todense()), dense, atol=1e-15)
+
+
+def test_hermitian_and_skew_write_roundtrip():
+    herm = np.array([[2.0, 1 + 1j], [1 - 1j, 3.0]], complex)
+    got = np.asarray(_rt(sp.csr_from_dense(herm), symmetry="hermitian").todense())
+    np.testing.assert_allclose(got, herm, atol=1e-15)
+
+    skew = np.array([[0.0, -3.0, 1.5], [3.0, 0.0, 0.25],
+                     [-1.5, -0.25, 0.0]])
+    got = np.asarray(_rt(sp.csr_from_dense(skew), symmetry="skew-symmetric").todense())
+    np.testing.assert_allclose(got, skew, atol=1e-15)
+
+
+def test_array_skew_symmetric_text():
+    # strictly-lower triangle only, column-major (diagonal implied 0)
+    text = """%%MatrixMarket matrix array real skew-symmetric
+3 3
+2.0
+3.0
+4.0
+"""
+    got = mmread(io.StringIO(text))
+    want = np.array([[0, -2, -3], [2, 0, -4], [3, 4, 0.0]])
+    np.testing.assert_allclose(got, want)
