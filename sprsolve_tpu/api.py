@@ -87,6 +87,33 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
         elif isinstance(A, CSR):
             op = _optimize(A)
 
+    if isinstance(M, str) and M == "amg":
+        # algebraic multigrid-lite: RCM localizes the graph so consecutive-
+        # pair (1-D grid) aggregation is meaningful, then the geometric
+        # hierarchy machinery applies unchanged. Works for any SPD-ish CSR —
+        # no grid shape needed (structured grids should pass their shape to
+        # GridMGPrecond.from_csr directly for true geometric coarsening).
+        from .multigrid import GridMGPrecond
+        from .ops.reordered import Reordered
+        from .precond import RelayedPrecond
+        from .sparse.containers import reorder_rcm
+
+        src = A.to_csr() if isinstance(A, CSC) else A
+        if not isinstance(src, CSR):
+            raise InvalidPreconditioner(
+                "M='amg' builds from the matrix on the host and needs a "
+                "CSR/CSC input (got an operator); build GridMGPrecond."
+            )
+        A_rcm, perm = reorder_rcm(src)
+        mg = GridMGPrecond.from_csr(A_rcm, (A_rcm.shape[0],))
+        inner_op = _optimize(A_rcm) if optimize_layout else A_rcm
+        op = Reordered.wrap(inner_op, perm)
+        if hasattr(inner_op, "pad_vec"):
+            # MG lives in permuted-flat space; relay through the inner
+            # layout only (the outer Reordered boundary handles perm)
+            return op, RelayedPrecond(inner=mg, op=inner_op), True
+        return op, mg, True
+
     if isinstance(M, str) and M in ("ilu0", "ic0", "block_jacobi"):
         src = A.to_csr() if isinstance(A, CSC) else A
         if not isinstance(src, CSR):

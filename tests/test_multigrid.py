@@ -146,3 +146,35 @@ def test_prefer_pallas_levels_match_default():
     np.testing.assert_allclose(zp, z0, rtol=1e-5, atol=1e-6)
     x, info = sp.cg(A.to_dia(), b, M=Mp, tol=1e-8, max_iter=200)
     info.raise_if_error()
+
+
+def _unstructured_spd(n=600, seed=0):
+    """Random geometric-graph Laplacian: SPD, no grid structure."""
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, 2))
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nbrs = np.argsort(d2, axis=1)[:, :6]
+    W = np.zeros((n, n))
+    W[np.repeat(np.arange(n), 6), nbrs.ravel()] = 1.0
+    W = np.maximum(W, W.T)
+    L = np.diag(W.sum(1)) - W + 0.01 * np.eye(n)
+    return sp.csr_from_dense(L), L
+
+
+def test_amg_string_on_unstructured_matrix():
+    A, L = _unstructured_spd()
+    b = np.random.default_rng(1).standard_normal(600)
+    x, info = sp.solve(A, b, method="cg", M="amg", tol=1e-8, max_iter=2000)
+    info.raise_if_error()
+    # answer comes back in the ORIGINAL ordering
+    assert np.linalg.norm(L @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-6
+    _, info_j = sp.solve(A, b, method="cg", M="jacobi", tol=1e-8,
+                         max_iter=2000)
+    assert int(info.iterations) < int(info_j.iterations) // 2
+
+
+def test_amg_rejects_operator_input():
+    A, _ = _unstructured_spd(100, seed=2)
+    with pytest.raises(sp.errors.InvalidPreconditioner):
+        sp.solve(A.to_ell(), np.zeros(100), M="amg", tol=1e-8, max_iter=10)
