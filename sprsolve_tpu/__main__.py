@@ -1,0 +1,157 @@
+"""Command-line entry: solve a Matrix Market system from the shell.
+
+The runnable counterpart of the reference's demo binary (``src/main.rs``),
+grown into a tool: read A (.mtx) and b (.npy/.mtx/text), pick a solver and
+preconditioner, print the solve report, optionally write x.
+
+    python -m sprsolve_tpu solve A.mtx --rhs b.npy --method cg --precond amg \
+        --tol 1e-10 --max-iter 2000 --out x.npy
+    python -m sprsolve_tpu info A.mtx
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _load_rhs(path, n, dtype):
+    import numpy as np
+
+    if path is None:
+        return np.ones(n, dtype=dtype)
+    if path.endswith(".npy"):
+        b = np.load(path)
+    elif path.endswith(".mtx"):
+        from .utils.io import mmread
+
+        m = mmread(path)
+        b = m if not hasattr(m, "todense") else np.asarray(m.todense())
+        b = np.asarray(b).reshape(-1)
+    else:
+        b = np.loadtxt(path)
+    return np.asarray(b, dtype=dtype).reshape(-1)
+
+
+def _cmd_info(args):
+    import numpy as np
+
+    from .utils.io import mmread
+
+    A = mmread(args.matrix)
+    if not hasattr(A, "nnz"):
+        print(f"{args.matrix}: dense array {A.shape} {A.dtype}")
+        return 0
+    m, n = A.shape
+    print(f"{args.matrix}: {m} x {n}, nnz {A.nnz} "
+          f"({A.nnz / max(m, 1):.2f}/row), dtype {np.asarray(A.data).dtype}")
+    if m == n:
+        from .native import csr_bandwidth, csr_count_diagonals
+
+        indptr = np.asarray(A.indptr, np.int64)
+        indices = np.asarray(A.indices, np.int32)
+        try:
+            bw = csr_bandwidth(m, indptr, indices)
+            nd = csr_count_diagonals(m, indptr, indices)
+            print(f"bandwidth {bw}, distinct diagonals {nd}")
+        except Exception:
+            pass
+        dense = np.asarray(A.todense()) if m <= 2000 else None
+        if dense is not None:
+            sym = np.allclose(dense, dense.T)
+            herm = np.allclose(dense, dense.conj().T)
+            print(f"symmetric: {sym}  hermitian: {herm}")
+    return 0
+
+
+def _cmd_solve(args):
+    import numpy as np
+
+    from . import errors, solve
+    from .sparse.containers import CSR
+    from .utils.io import mmread
+
+    A = mmread(args.matrix)
+    if not hasattr(A, "matvec"):
+        print("error: matrix file is a dense array; expected sparse", file=sys.stderr)
+        return 2
+    if args.f32:
+        dt = np.complex64 if np.iscomplexobj(np.asarray(A.data)) else np.float32
+        A = CSR.from_arrays(
+            np.asarray(A.data, dt), A.indices, A.indptr, A.shape
+        )
+    b = _load_rhs(args.rhs, A.shape[0], np.asarray(A.data).dtype)
+    if b.shape[0] != A.shape[0]:
+        print(f"error: rhs has {b.shape[0]} entries, matrix has {A.shape[0]} rows",
+              file=sys.stderr)
+        return 2
+
+    M = args.precond if args.precond != "none" else None
+    t0 = time.perf_counter()
+    try:
+        x, info = solve(
+            A, b, method=args.method, M=M, tol=args.tol, max_iter=args.max_iter
+        )
+    except errors.SolverError as e:
+        print(f"solver error: {e}", file=sys.stderr)
+        return 1
+    wall = time.perf_counter() - t0
+    import jax
+
+    jax.block_until_ready(x)
+    x_np = np.asarray(x)
+    r = np.asarray(A.matvec(x)) - b
+    relres = float(np.linalg.norm(r) / max(np.linalg.norm(b), 1e-300))
+    status = errors.Status(int(info.status)).name
+    print(
+        f"{args.method}"
+        + (f" + {args.precond}" if M is not None else "")
+        + f": {int(info.iterations)} iterations, status {status}, "
+        f"true rel-res {relres:.3e}, {wall:.3f} s (incl. compile)"
+    )
+    if args.out:
+        np.save(args.out, x_np)
+        print(f"wrote {args.out}")
+    return 0 if status == "CONVERGED" else 1
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="python -m sprsolve_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_info = sub.add_parser("info", help="print matrix statistics")
+    p_info.add_argument("matrix", help="Matrix Market file")
+    p_info.set_defaults(fn=_cmd_info)
+
+    p_solve = sub.add_parser("solve", help="solve A x = b")
+    p_solve.add_argument("matrix", help="Matrix Market file for A")
+    p_solve.add_argument("--rhs", help=".npy/.mtx/text file for b (default: ones)")
+    p_solve.add_argument(
+        "--method", default="bicgstab",
+        choices=["bicgstab", "cg", "minres", "cs_minres", "gmres", "lsqr"],
+    )
+    p_solve.add_argument(
+        "--precond", default="none",
+        choices=["none", "jacobi", "ilu0", "ic0", "block_jacobi", "amg"],
+    )
+    p_solve.add_argument("--tol", type=float, default=1e-8)
+    p_solve.add_argument("--max-iter", type=int, default=1000)
+    p_solve.add_argument("--out", help="write the solution to this .npy file")
+    p_solve.add_argument(
+        "--f32", action="store_true",
+        help="downcast the system to f32/c64 (the TPU kernel dtypes)",
+    )
+    p_solve.set_defaults(fn=_cmd_solve)
+
+    args = ap.parse_args(argv)
+    # honor the file's dtype: .mtx data is f64/c128 — without x64 JAX would
+    # silently truncate (use --f32 to opt into the fast kernel dtypes)
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

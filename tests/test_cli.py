@@ -1,0 +1,61 @@
+"""CLI entry (__main__): info and solve subcommands, end to end."""
+
+import numpy as np
+import pytest
+
+import sprsolve_tpu as sp
+from sprsolve_tpu.__main__ import main
+from sprsolve_tpu.utils import problems
+from sprsolve_tpu.utils.io import mmwrite
+
+
+@pytest.fixture()
+def lap_mtx(tmp_path):
+    A = problems.grid_laplacian_dirichlet((10, 10))
+    p = tmp_path / "lap.mtx"
+    mmwrite(p, A)
+    b = np.zeros(100)
+    problems.set_boundary_condition(b, (10, 10), lambda r, c: float(r + c))
+    bp = tmp_path / "b.npy"
+    np.save(bp, b)
+    return A, str(p), b, str(bp)
+
+
+def test_info(lap_mtx, capsys):
+    _, path, _, _ = lap_mtx
+    assert main(["info", path]) == 0
+    out = capsys.readouterr().out
+    assert "100 x 100" in out and "symmetric" in out
+
+
+def test_solve_writes_solution(lap_mtx, tmp_path, capsys):
+    A, path, b, bpath = lap_mtx
+    out = tmp_path / "x.npy"
+    rc = main([
+        "solve", path, "--rhs", bpath, "--method", "bicgstab",
+        "--precond", "jacobi", "--tol", "1e-12", "--max-iter", "1500",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "CONVERGED" in text
+    x = np.load(out)
+    r = np.asarray(A.matvec(x)) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+
+def test_solve_default_rhs_and_amg(lap_mtx, capsys):
+    # the Dirichlet Laplacian is nonsymmetric (identity boundary rows):
+    # bicgstab is the right method; amg rides it fine
+    _, path, _, _ = lap_mtx
+    rc = main(["solve", path, "--method", "bicgstab", "--precond", "amg",
+               "--tol", "1e-10", "--max-iter", "2000"])
+    assert rc == 0
+    assert "CONVERGED" in capsys.readouterr().out
+
+
+def test_solve_bad_rhs_length(lap_mtx, tmp_path, capsys):
+    _, path, _, _ = lap_mtx
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.ones(7))
+    assert main(["solve", path, "--rhs", str(bad)]) == 2
