@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_spmv import _band_accumulate, _pallas_call
+from .pallas_spmv import _I0, _band_accumulate, _pallas_call
 
 
 def _orth_norm_kernel(
@@ -63,20 +63,20 @@ def fused_orth_norm_call(a2, vold2, v2, beta, alpha, hr, block_rows):
     grid = (r_pad // block_rows,)
     win = pl.BlockSpec(
         (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
-        lambda i: (i * block_rows, 0),
+        lambda i: (i * block_rows, _I0),
         memory_space=pltpu.VMEM,
     )
     body = pl.BlockSpec(
-        (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, lanes), lambda i: (i, _I0), memory_space=pltpu.VMEM
     )
-    scal = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    scal = pl.BlockSpec((1, 1), lambda i: (_I0, _I0), memory_space=pltpu.SMEM)
     vn, parts = _pallas_call(
         functools.partial(_orth_norm_kernel, hr=hr),
         grid=grid,
         in_specs=[win, win, win, scal, scal],
         out_specs=(
             body,
-            pl.BlockSpec((grid[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((grid[0], 1), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r_pad, lanes), a2.dtype),

@@ -63,6 +63,12 @@ COMPLEX_BLOCK_ROWS = 256
 # (and clears the jit caches) instead of monkey-patching the pallas module.
 _INTERPRET = [False]
 
+# strongly-typed zero for BlockSpec index maps: a literal 0 traces as i64
+# when the caller enabled jax_enable_x64, and Mosaic cannot legalize the
+# resulting mixed (i64, i32, ...) index tuple ("failed to legalize
+# 'func.return'"); np.int32 keeps the map i32 under either flag state.
+_I0 = np.int32(0)
+
 
 def _interpret_now() -> bool:
     """Interpret when explicitly requested OR when the default backend has no
@@ -176,7 +182,7 @@ def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows):
     grid = (r_pad // block_rows,)
     win = pl.BlockSpec(
         (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
-        lambda i: (i * block_rows, 0),
+        lambda i: (i * block_rows, _I0),
         memory_space=pltpu.VMEM,
     )
     y, partials = _pallas_call(
@@ -184,16 +190,16 @@ def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (d, block_rows, lanes), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
             win,
             win,
         ],
         out_specs=(
             pl.BlockSpec(
-                (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (block_rows, lanes), lambda i: (i, _I0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((grid[0], 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((grid[0], 2), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
@@ -254,15 +260,15 @@ def _dia_complex_dotmv_pallas_call(
     d, r_pad, _ = bre3.shape
     grid = (r_pad // block_rows,)
     bspec = pl.BlockSpec(
-        (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (d, block_rows, lanes), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
     )
     win = pl.BlockSpec(
         (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
-        lambda i: (i * block_rows, 0),
+        lambda i: (i * block_rows, _I0),
         memory_space=pltpu.VMEM,
     )
     body = pl.BlockSpec(
-        (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, lanes), lambda i: (i, _I0), memory_space=pltpu.VMEM
     )
     yr, yi, parts = _pallas_call(
         functools.partial(
@@ -273,7 +279,7 @@ def _dia_complex_dotmv_pallas_call(
         out_specs=(
             body,
             body,
-            pl.BlockSpec((grid[0], 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((grid[0], 2), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((r_pad, lanes), xr2.dtype),
@@ -290,15 +296,15 @@ def _dia_complex_pallas_call(bre3, bim3, xr2, xi2, offsets, hr, lanes, block_row
     d, r_pad, _ = bre3.shape
     grid = (r_pad // block_rows,)
     bspec = pl.BlockSpec(
-        (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (d, block_rows, lanes), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
     )
     win = pl.BlockSpec(
         (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
-        lambda i: (i * block_rows, 0),
+        lambda i: (i * block_rows, _I0),
         memory_space=pltpu.VMEM,
     )
     body = pl.BlockSpec(
-        (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, lanes), lambda i: (i, _I0), memory_space=pltpu.VMEM
     )
     return _pallas_call(
         functools.partial(_dia_complex_kernel, offsets=offsets, hr=hr, lanes=lanes),
@@ -321,22 +327,22 @@ def _dia_dotmv_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (d, block_rows, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (d, block_rows, lanes), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
-                lambda i: (i * block_rows, 0),
+                lambda i: (i * block_rows, _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (block_rows, lanes), lambda i: (i, _I0), memory_space=pltpu.VMEM
             ),
             # whole partials buffer visible to every grid step (block == array
             # dims satisfies the tiling constraint); steps write disjoint slots
             pl.BlockSpec(
-                (grid[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+                (grid[0], 1), lambda i: (_I0, _I0), memory_space=pltpu.SMEM
             ),
         ),
         out_shape=(
@@ -357,7 +363,7 @@ def _dia_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
         in_specs=[
             pl.BlockSpec(
                 (d, block_rows, lanes),
-                lambda i: (0, i, 0),
+                lambda i: (_I0, i, _I0),
                 memory_space=pltpu.VMEM,
             ),
             # overlapping x windows: block i covers padded rows
@@ -365,12 +371,12 @@ def _dia_pallas_call(bands3, x2, offsets, hr, lanes, block_rows):
             # because consecutive windows overlap by 2·hr rows.
             pl.BlockSpec(
                 (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
-                lambda i: (i * block_rows, 0),
+                lambda i: (i * block_rows, _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (block_rows, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block_rows, lanes), lambda i: (i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
     )(bands3, x2)
