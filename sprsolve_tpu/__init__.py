@@ -49,6 +49,8 @@ from .solvers import (
     lsqr,
     greedy_color,
     minres,
+    refine,
+    refine_solve,
     with_real_planes,
 )
 from .sparse import BSR, COO, CSC, CSR, DIA, ELL, csr_from_bcoo, csr_from_dense, csr_from_scipy, reorder_rcm
@@ -73,6 +75,8 @@ __all__ = [
     "lobpcg",
     "lsqr",
     "minres",
+    "refine",
+    "refine_solve",
     "cs_minres",
     "with_real_planes",
     "gauss_seidel",

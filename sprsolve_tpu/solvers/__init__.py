@@ -10,6 +10,7 @@ from .lobpcg import lobpcg
 from .lsqr import lsqr
 from .minres import minres
 from .planes import with_real_planes
+from .refine import refine, refine_solve
 from .cs_minres import cs_minres
 from .gauss_seidel import gauss_seidel
 from .redblack import (
@@ -31,6 +32,8 @@ __all__ = [
     "lsqr",
     "minres",
     "with_real_planes",
+    "refine",
+    "refine_solve",
     "cs_minres",
     "gauss_seidel",
     "gauss_seidel_redblack",

@@ -1,0 +1,224 @@
+"""Mixed-precision iterative refinement: f64 accuracy at f32 kernel speed.
+
+The TPU has no fast f64 (Mosaic cannot lower f64 kernels; emulated XLA f64
+runs an order of magnitude under the f32 Pallas path — BENCH_NOTES.md), yet
+the reference's fidelity bar is f64 (tolerances 1e-17,
+``tests/test_solvers.rs:45``).  Classical iterative refinement closes the
+gap the TPU-native way:
+
+    x₀ = 0
+    repeat:  r = b − A·x   (f64, cheap XLA DIA — once per outer step)
+             d ≈ A⁻¹ r     (f32 Pallas-kernel Krylov solve, the hot work)
+             x ← x + d     (f64)
+
+Each outer step multiplies the error by O(κ(A)·ε_f32), so a handful of
+steps reach f64 limits whenever κ(A) ≪ 1/ε_f32 ≈ 2·10⁷.  The entire
+procedure is ONE jitted program (outer ``lax.while_loop`` whose body runs
+the inner solver's while_loop), so the multi-millisecond dispatch latency
+of a remote TPU is paid once, not per refinement step.
+
+The residual is normalized before the f32 cast (the inner system is always
+solved at unit scale), so refinement proceeds to f64 machine epsilon
+without f32 underflow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..errors import IncompatibleMatrixFormat, Status
+from ..vecalg import eps_for, norm2
+from .common import make_info
+
+
+class _State(NamedTuple):
+    x: jax.Array        # (n,) f64 iterate
+    r_norm: jax.Array   # f64 scalar ‖b − A·x‖
+    prev_norm: jax.Array
+    outer: jax.Array
+    inner_total: jax.Array
+    status: jax.Array
+
+
+def refine(
+    A64,
+    A32,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    inner=None,
+    M=None,
+    tol,
+    max_refine: int = 20,
+    inner_tol: float = 1e-5,
+    inner_max_iter: int = 400,
+):
+    """Solve A·x = b to f64 accuracy using an f32 inner solver.
+
+    ``A64`` is the f64 operator used for true residuals (one apply per outer
+    step; any layout — the XLA DIA path is the natural choice).  ``A32`` is
+    the f32 execution-layout operator for the inner solves (the Pallas
+    kernel operator from ``optimize()``; may expose ``pad_vec``).  ``inner``
+    is a functional solver (default :func:`~sprsolve_tpu.solvers.bicgstab`);
+    ``M`` preconditions the inner solve and must live in ``A32``'s layout.
+
+    Returns ``(x, SolveInfo)`` where ``iterations`` counts *outer*
+    refinement steps and ``residual`` is the true f64 relative residual.
+    Stagnation (residual no longer contracting — κ(A)·ε_f32 ≳ 1) exits with
+    ``Status.BREAKDOWN`` and the best iterate.
+    """
+    from .bicgstab import bicgstab
+
+    if inner is None:
+        inner = bicgstab
+    if b.dtype != jnp.float64:
+        raise IncompatibleMatrixFormat(
+            "refine() is the f64-accuracy driver; b must be float64 "
+            "(enable jax_enable_x64)"
+        )
+    n = b.shape[0]
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    padded = hasattr(A32, "pad_vec")
+    tol = jnp.asarray(tol, jnp.float64)
+    eps = eps_for(jnp.float64)
+    inner_run = partial(inner, M=M, tol=inner_tol, max_iter=inner_max_iter) \
+        if M is not None else partial(inner, tol=inner_tol,
+                                      max_iter=inner_max_iter)
+
+    def correction(r64, r_norm):
+        # unit-scale the residual before the f32 cast (no underflow), solve
+        # in the f32 execution layout, un-scale in f64
+        r32 = (r64 / r_norm).astype(jnp.float32)
+        if padded:
+            r32 = A32.pad_vec(r32)
+        d32, info = inner_run(A32, r32)
+        if padded:
+            d32 = A32.unpad_vec(d32)
+        return d32.astype(jnp.float64) * r_norm, info.iterations
+
+    def main(rhs_norm):
+        tol_abs = tol * rhs_norm
+
+        r0 = b - A64.matvec(x0)
+        st = _State(
+            x=x0,
+            r_norm=norm2(r0),
+            prev_norm=jnp.asarray(jnp.inf, jnp.float64),
+            outer=jnp.int32(0),
+            inner_total=jnp.int32(0),
+            status=jnp.int32(Status.RUNNING),
+        )
+
+        def cond_fn(s_):
+            return (
+                (s_.status == Status.RUNNING)
+                & (s_.outer < max_refine)
+                & (s_.r_norm > tol_abs)
+            )
+
+        def body_fn(s_):
+            r64 = b - A64.matvec(s_.x)
+            d64, inner_its = correction(r64, s_.r_norm)
+            x = s_.x + d64
+            r_new = norm2(b - A64.matvec(x))
+            # stagnation: refinement must contract; κ·ε_f32 too large if not
+            improved = r_new < s_.r_norm * jnp.float64(0.5)
+            keep = r_new < s_.r_norm  # accept any improvement
+            return _State(
+                x=jnp.where(keep, x, s_.x),
+                r_norm=jnp.where(keep, r_new, s_.r_norm),
+                prev_norm=s_.r_norm,
+                outer=s_.outer + 1,
+                inner_total=s_.inner_total + inner_its,
+                status=jnp.where(
+                    improved, s_.status, jnp.int32(Status.BREAKDOWN)
+                ),
+            )
+
+        final = lax.while_loop(cond_fn, body_fn, st)
+        converged = final.r_norm <= tol_abs
+        status = jnp.where(
+            converged,
+            jnp.int32(Status.CONVERGED),
+            jnp.where(
+                final.status == Status.RUNNING,
+                jnp.int32(Status.INSUFFICIENT_ITER),
+                final.status,
+            ),
+        )
+        return final.x, make_info(final.outer, final.r_norm / rhs_norm, status)
+
+    rhs_norm = norm2(b)
+
+    def trivial(_):
+        return jnp.zeros_like(b), make_info(0, rhs_norm, Status.CONVERGED)
+
+    return lax.cond(rhs_norm <= eps, trivial, lambda _: main(rhs_norm), None)
+
+
+def refine_solve(
+    A,
+    b,
+    *,
+    inner: str = "bicgstab",
+    M=None,
+    tol: float = 1e-12,
+    max_refine: int = 20,
+    inner_tol: float = 1e-5,
+    inner_max_iter: int = 400,
+    x0=None,
+):
+    """Convenience wrapper: build both precisions from a host CSR and run
+    :func:`refine` under one jit.
+
+    ``A`` is an f64 CSR; the f64 residual operator is its DIA/XLA form and
+    the f32 inner operator comes from ``optimize()`` (Pallas kernels on
+    TPU).  ``M`` may be ``"jacobi"`` (built in the inner layout) or a
+    preconditioner living in the inner operator's layout.
+    """
+    import numpy as np
+
+    from . import bicgstab, cg, gmres, minres
+    from ..ops.optimize import optimize
+    from ..sparse.containers import CSR
+
+    solvers = {"bicgstab": bicgstab, "cg": cg, "minres": minres,
+               "gmres": gmres}
+    inner_fn = solvers[inner]
+    if not isinstance(A, CSR):
+        raise IncompatibleMatrixFormat("refine_solve needs a host CSR")
+    data64 = np.asarray(A.data, np.float64)
+    A64 = CSR.from_arrays(data64, A.indices, A.indptr, A.shape).to_dia()
+    A32 = optimize(
+        CSR.from_arrays(data64.astype(np.float32), A.indices, A.indptr,
+                        A.shape)
+    )
+    if isinstance(M, str):
+        if M != "jacobi":
+            raise IncompatibleMatrixFormat(
+                "refine_solve supports M='jacobi' or a prebuilt "
+                "inner-layout preconditioner"
+            )
+        if hasattr(A32, "jacobi_precond"):
+            M = A32.jacobi_precond()
+        else:
+            from ..precond import DiagPrecond
+
+            M = DiagPrecond.new(A32.diagonal())
+    run = jax.jit(
+        lambda a64, a32, bb, xx0: refine(
+            a64, a32, bb, xx0,
+            inner=inner_fn, M=M, tol=tol, max_refine=max_refine,
+            inner_tol=inner_tol, inner_max_iter=inner_max_iter,
+        )
+    )
+    b = jnp.asarray(b, jnp.float64)
+    x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float64)
+    return run(A64, A32, b, x0)

@@ -1,0 +1,75 @@
+"""Mixed-precision iterative refinement: f64 accuracy from an f32 inner
+solver, one jitted program."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sprsolve_tpu as sp
+from sprsolve_tpu.utils import problems
+
+
+def _spd(side=20):
+    A, _ = problems.sym_grid_laplacian((side, side))
+    dense = -np.asarray(A.todense())
+    return sp.csr_from_dense(dense), dense
+
+
+def test_reaches_f64_accuracy_with_f32_inner():
+    A, dense = _spd()
+    b = np.random.default_rng(0).standard_normal(400)
+    x, info = sp.refine_solve(A, b, inner="cg", tol=1e-13, inner_tol=1e-6)
+    info.raise_if_error()
+    r = dense @ np.asarray(x) - b
+    rel = np.linalg.norm(r) / np.linalg.norm(b)
+    assert rel < 1e-12  # far beyond f32's ~1e-7 floor
+    assert x.dtype == jnp.float64
+    # a handful of outer steps suffice for this conditioning
+    assert 1 < int(info.iterations) <= 6
+
+
+def test_beats_pure_f32_accuracy():
+    A, dense = _spd(16)
+    b = np.random.default_rng(1).standard_normal(256)
+    # pure f32 solve bottoms out near f32 epsilon no matter the tol
+    A32 = sp.csr_from_dense(dense.astype(np.float32))
+    x32, _ = sp.cg(A32.to_dia(), jnp.asarray(b, jnp.float32), tol=1e-14,
+                   max_iter=5000)
+    rel32 = np.linalg.norm(dense @ np.asarray(x32, np.float64) - b) \
+        / np.linalg.norm(b)
+    x, info = sp.refine_solve(A, b, inner="cg", tol=1e-13)
+    info.raise_if_error()
+    rel = np.linalg.norm(dense @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert rel < rel32 * 1e-3  # orders of magnitude past the f32 floor
+
+
+def test_nonsymmetric_bicgstab_inner():
+    A = problems.grid_laplacian_dirichlet((16, 16))  # nonsymmetric
+    A = sp.CSR.from_arrays(np.asarray(A.data, np.float64), A.indices,
+                           A.indptr, A.shape)
+    b = np.zeros(256)
+    problems.set_boundary_condition(b, (16, 16), lambda r, c: float(r + c))
+    x, info = sp.refine_solve(A, b, inner="bicgstab", tol=1e-13,
+                              M="jacobi")
+    info.raise_if_error()
+    r = np.asarray(A.matvec(jnp.asarray(x))) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-12
+
+
+def test_zero_rhs_and_dtype_guard():
+    A, _ = _spd(8)
+    x, info = sp.refine_solve(A, np.zeros(64), tol=1e-13)
+    assert int(info.iterations) == 0 and np.all(np.asarray(x) == 0)
+    from sprsolve_tpu.solvers import refine
+
+    with pytest.raises(sp.errors.IncompatibleMatrixFormat):
+        refine(A.to_dia(), A.to_dia(), jnp.zeros(64, jnp.float32), tol=1e-12)
+
+
+def test_warm_start():
+    A, dense = _spd(12)
+    b = np.random.default_rng(2).standard_normal(144)
+    x1, _ = sp.refine_solve(A, b, inner="cg", tol=1e-13)
+    _, info2 = sp.refine_solve(A, b, inner="cg", tol=1e-13, x0=x1)
+    assert int(info2.iterations) <= 1
