@@ -91,6 +91,27 @@ lam, V, info = sp.lobpcg(
 print(f"{'LOBPCG smallest 3':27s} {int(info.iterations):4d} iters  "
       f"lambda = {np.array2string(np.asarray(lam), precision=4)}")
 
+# --- f64 accuracy at f32 kernel speed: iterative refinement ----------------
+Af64 = sp.CSR.from_arrays(np.asarray(Aspd.data, np.float64), Aspd.indices,
+                          Aspd.indptr, Aspd.shape)
+xr_, info = sp.refine_solve(Af64, bspd, inner="cg", tol=1e-13)
+rr = np.linalg.norm(np.asarray(Af64.matvec(jnp.asarray(xr_))) - bspd)
+print(f"{'refine_solve (f64 via f32)':27s} {int(info.iterations):4d} outer  "
+      f"rel-res {rr / np.linalg.norm(bspd):.2e}")
+
+# --- algebraic multigrid on an unstructured matrix --------------------------
+rng_u = np.random.default_rng(7)
+W = np.zeros((700, 700))
+pts_u = rng_u.random((700, 2))
+d2u = ((pts_u[:, None] - pts_u[None])**2).sum(-1); np.fill_diagonal(d2u, np.inf)
+nbu = np.argsort(d2u, 1)[:, :5]
+W[np.repeat(np.arange(700), 5), nbu.ravel()] = 1; W = np.maximum(W, W.T)
+Lg = sp.csr_from_dense(np.diag(W.sum(1)) - W + 0.05 * np.eye(700))
+bg = rng_u.standard_normal(700)
+xg, info = sp.solve(Lg, bg, method="cg", M="amg", tol=1e-10, max_iter=2000)
+print(f"{'CG + amg (unstructured)':27s} {int(info.iterations):4d} iters  "
+      f"rel-res {relres(Lg, xg, bg):.2e}")
+
 # --- file IO: Matrix Market round trip ------------------------------------
 buf = io.StringIO()
 mmwrite(buf, A, comment="Dirichlet Laplacian from the tour")
