@@ -189,11 +189,16 @@ def refine_solve(
     from ..ops.optimize import optimize
     from ..sparse.containers import CSR
 
+    if not isinstance(A, CSR):
+        raise IncompatibleMatrixFormat("refine_solve needs a host CSR")
+    if np.iscomplexobj(np.asarray(A.data)):
+        return _refine_solve_complex(
+            A, b, inner=inner, M=M, tol=tol, max_refine=max_refine,
+            inner_tol=inner_tol, inner_max_iter=inner_max_iter, x0=x0,
+        )
     solvers = {"bicgstab": bicgstab, "cg": cg, "minres": minres,
                "gmres": gmres}
     inner_fn = solvers[inner]
-    if not isinstance(A, CSR):
-        raise IncompatibleMatrixFormat("refine_solve needs a host CSR")
     data64 = np.asarray(A.data, np.float64)
     A64 = CSR.from_arrays(data64, A.indices, A.indptr, A.shape).to_dia()
     A32 = optimize(
@@ -222,3 +227,198 @@ def refine_solve(
     b = jnp.asarray(b, jnp.float64)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float64)
     return run(A64, A32, b, x0)
+
+
+class _PlanesDIA(NamedTuple):
+    """f64 complex operator as real re/im DIA planes (axon-safe leaves):
+    A·x with x = (xr, xi) is four real XLA-DIA applies."""
+
+    re: object
+    im: object
+
+    def apply(self, xr, xi):
+        ar = self.re.matvec(xr) - self.im.matvec(xi)
+        ai = self.re.matvec(xi) + self.im.matvec(xr)
+        return ar, ai
+
+
+def refine_complex(
+    A64: _PlanesDIA,
+    A32,
+    b_re: jax.Array,
+    b_im: jax.Array,
+    x0_re: Optional[jax.Array] = None,
+    x0_im: Optional[jax.Array] = None,
+    *,
+    inner=None,
+    M=None,
+    tol,
+    max_refine: int = 20,
+    inner_tol: float = 1e-5,
+    inner_max_iter: int = 500,
+):
+    """Complex counterpart of :func:`refine`: c128 accuracy from a c64 inner
+    solve (the fused two-plane Pallas kernel), with every jit-boundary array
+    real (the planes discipline of ``with_real_planes`` — required on
+    backends that reject complex device buffers).
+
+    ``A64`` is a :class:`_PlanesDIA` of f64 re/im DIA operators (the true-
+    residual apply); ``A32`` a c64 operator for the inner solves (e.g.
+    :class:`~sprsolve_tpu.ops.pallas_spmv.ComplexPaddedDIA`); ``inner`` a
+    complex-capable solver (default ``cs_minres`` — use ``bicgstab`` for
+    non-symmetric complex systems).  Returns ``(x_re, x_im, SolveInfo)``.
+    """
+    from .cs_minres import cs_minres
+    from .planes import with_real_planes
+
+    if inner is None:
+        inner = cs_minres
+    if b_re.dtype != jnp.float64:
+        raise IncompatibleMatrixFormat(
+            "refine_complex is the c128-accuracy driver; planes must be "
+            "float64 (enable jax_enable_x64)"
+        )
+    if x0_re is None:
+        x0_re = jnp.zeros_like(b_re)
+    if x0_im is None:
+        x0_im = jnp.zeros_like(b_im)
+
+    padded = hasattr(A32, "pad_vec")
+    tol = jnp.asarray(tol, jnp.float64)
+    eps = eps_for(jnp.float64)
+    kwargs = dict(tol=inner_tol, max_iter=inner_max_iter)
+    if M is not None:
+        kwargs["M"] = M
+    inner_run = with_real_planes(partial(inner, **kwargs))
+
+    def norm_pl(vr, vi):
+        return jnp.sqrt(norm2(vr) ** 2 + norm2(vi) ** 2)
+
+    def residual(xr, xi):
+        ar, ai = A64.apply(xr, xi)
+        return b_re - ar, b_im - ai
+
+    def correction(rr, ri, r_norm):
+        rr32 = (rr / r_norm).astype(jnp.float32)
+        ri32 = (ri / r_norm).astype(jnp.float32)
+        if padded:
+            rr32, ri32 = A32.pad_vec(rr32), A32.pad_vec(ri32)
+        dr, di, info = inner_run(A32, rr32, ri32)
+        if padded:
+            # ComplexPaddedDIA's pad/unpad promote real planes to c64 with
+            # exactly-zero imaginary parts; take the real component back
+            dr = jnp.real(A32.unpad_vec(dr))
+            di = jnp.real(A32.unpad_vec(di))
+        return (dr.astype(jnp.float64) * r_norm,
+                di.astype(jnp.float64) * r_norm, info.iterations)
+
+    class _CState(NamedTuple):
+        xr: jax.Array
+        xi: jax.Array
+        r_norm: jax.Array
+        outer: jax.Array
+        status: jax.Array
+
+    def main(rhs_norm):
+        tol_abs = tol * rhs_norm
+        r0r, r0i = residual(x0_re, x0_im)
+        st = _CState(
+            xr=x0_re, xi=x0_im,
+            r_norm=norm_pl(r0r, r0i),
+            outer=jnp.int32(0),
+            status=jnp.int32(Status.RUNNING),
+        )
+
+        def cond_fn(s_):
+            return (
+                (s_.status == Status.RUNNING)
+                & (s_.outer < max_refine)
+                & (s_.r_norm > tol_abs)
+            )
+
+        def body_fn(s_):
+            rr, ri = residual(s_.xr, s_.xi)
+            dr, di, _ = correction(rr, ri, s_.r_norm)
+            xr, xi = s_.xr + dr, s_.xi + di
+            r_new = norm_pl(*residual(xr, xi))
+            improved = r_new < s_.r_norm * jnp.float64(0.5)
+            keep = r_new < s_.r_norm
+            return _CState(
+                xr=jnp.where(keep, xr, s_.xr),
+                xi=jnp.where(keep, xi, s_.xi),
+                r_norm=jnp.where(keep, r_new, s_.r_norm),
+                outer=s_.outer + 1,
+                status=jnp.where(
+                    improved, s_.status, jnp.int32(Status.BREAKDOWN)
+                ),
+            )
+
+        final = lax.while_loop(cond_fn, body_fn, st)
+        converged = final.r_norm <= tol_abs
+        status = jnp.where(
+            converged,
+            jnp.int32(Status.CONVERGED),
+            jnp.where(
+                final.status == Status.RUNNING,
+                jnp.int32(Status.INSUFFICIENT_ITER),
+                final.status,
+            ),
+        )
+        return (final.xr, final.xi,
+                make_info(final.outer, final.r_norm / rhs_norm, status))
+
+    rhs_norm = norm_pl(b_re, b_im)
+
+    def trivial(_):
+        return (jnp.zeros_like(b_re), jnp.zeros_like(b_im),
+                make_info(0, rhs_norm, Status.CONVERGED))
+
+    return lax.cond(rhs_norm <= eps, trivial, lambda _: main(rhs_norm), None)
+
+
+def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
+                          inner_max_iter, x0):
+    """Complex branch of :func:`refine_solve`: c128 accuracy via
+    :func:`refine_complex` (c64 two-plane inner solves); complex arrays
+    exist only on the host and inside the compiled program."""
+    import numpy as np
+
+    from . import bicgstab, cs_minres
+    from ..ops.pallas_spmv import ComplexPaddedDIA
+    from ..sparse.containers import CSR, DIA
+
+    solvers = {"cs_minres": cs_minres, "bicgstab": bicgstab}
+    if inner == "bicgstab" or inner == "cs_minres":
+        inner_fn = solvers[inner]
+    else:
+        inner_fn = cs_minres  # the complex default
+    data = np.asarray(A.data, np.complex128)
+    re64 = CSR.from_arrays(data.real, A.indices, A.indptr, A.shape).to_dia()
+    im64 = CSR.from_arrays(data.imag, A.indices, A.indptr, A.shape).to_dia()
+    A64 = _PlanesDIA(re=re64, im=im64)
+    A32 = ComplexPaddedDIA.from_csr(
+        CSR.from_arrays(data.astype(np.complex64), A.indices, A.indptr,
+                        A.shape)
+    )
+    if isinstance(M, str):
+        if M != "jacobi":
+            raise IncompatibleMatrixFormat(
+                "refine_solve supports M='jacobi' or a prebuilt "
+                "inner-layout preconditioner"
+            )
+        M = A32.jacobi_precond()
+    run = jax.jit(
+        lambda a64, a32, br, bi, xr0, xi0: refine_complex(
+            a64, a32, br, bi, xr0, xi0,
+            inner=inner_fn, M=M, tol=tol, max_refine=max_refine,
+            inner_tol=inner_tol, inner_max_iter=inner_max_iter,
+        )
+    )
+    b = np.asarray(b, np.complex128)
+    x0 = np.zeros_like(b) if x0 is None else np.asarray(x0, np.complex128)
+    xr, xi, info = run(
+        A64, A32,
+        jnp.asarray(b.real), jnp.asarray(b.imag),
+        jnp.asarray(x0.real), jnp.asarray(x0.imag),
+    )
+    return np.asarray(xr) + 1j * np.asarray(xi), info

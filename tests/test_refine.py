@@ -73,3 +73,26 @@ def test_warm_start():
     x1, _ = sp.refine_solve(A, b, inner="cg", tol=1e-13)
     _, info2 = sp.refine_solve(A, b, inner="cg", tol=1e-13, x0=x1)
     assert int(info2.iterations) <= 1
+
+
+def test_complex_refinement_cs_minres_inner():
+    """c128 accuracy from the c64 two-plane inner solve."""
+    A, rhs, _ = problems.complex_symmetric_grid_with_diag((10, 10))
+    x, info = sp.refine_solve(A, rhs, inner="cs_minres", tol=1e-12,
+                              inner_tol=1e-5, inner_max_iter=800)
+    info.raise_if_error()
+    dense = np.asarray(A.todense())
+    want = np.linalg.solve(dense, rhs)
+    err = np.abs(np.asarray(x) - want).max()
+    assert err < 1e-10  # far beyond c64's ~1e-6 floor
+    assert np.iscomplexobj(np.asarray(x))
+
+
+def test_complex_refinement_bicgstab_inner():
+    A, rhs, _ = problems.hermitian_grid_with_diag((8, 8))
+    x, info = sp.refine_solve(A, rhs, inner="bicgstab", tol=1e-12,
+                              M="jacobi", inner_max_iter=800)
+    info.raise_if_error()
+    dense = np.asarray(A.todense())
+    r = dense @ np.asarray(x) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-11
