@@ -90,9 +90,22 @@ def _cmd_solve(args):
     M = args.precond if args.precond != "none" else None
     t0 = time.perf_counter()
     try:
-        x, info = solve(
-            A, b, method=args.method, M=M, tol=args.tol, max_iter=args.max_iter
-        )
+        if args.refine:
+            from .solvers import refine_solve
+
+            if M not in (None, "jacobi"):
+                print("error: --refine supports --precond none|jacobi",
+                      file=sys.stderr)
+                return 2
+            x, info = refine_solve(
+                A, b, inner=args.method, M=M, tol=args.tol,
+                max_refine=args.max_iter,
+            )
+        else:
+            x, info = solve(
+                A, b, method=args.method, M=M, tol=args.tol,
+                max_iter=args.max_iter,
+            )
     except errors.SolverError as e:
         print(f"solver error: {e}", file=sys.stderr)
         return 1
@@ -109,6 +122,7 @@ def _cmd_solve(args):
         + (f" + {args.precond}" if M is not None else "")
         + f": {int(info.iterations)} iterations, status {status}, "
         f"true rel-res {relres:.3e}, {wall:.3f} s (incl. compile)"
+        + (" [refined]" if args.refine else "")
     )
     if args.out:
         np.save(args.out, x_np)
@@ -141,6 +155,11 @@ def main(argv=None):
     p_solve.add_argument(
         "--f32", action="store_true",
         help="downcast the system to f32/c64 (the TPU kernel dtypes)",
+    )
+    p_solve.add_argument(
+        "--refine", action="store_true",
+        help="mixed-precision iterative refinement: f64/c128 accuracy with "
+        "--method as the f32/c64 inner solver (max-iter = outer steps)",
     )
     p_solve.set_defaults(fn=_cmd_solve)
 

@@ -198,6 +198,11 @@ def refine_solve(
         )
     solvers = {"bicgstab": bicgstab, "cg": cg, "minres": minres,
                "gmres": gmres}
+    if inner not in solvers:
+        raise IncompatibleMatrixFormat(
+            f"refine inner solver must be one of {sorted(solvers)} for real "
+            f"systems (got {inner!r})"
+        )
     inner_fn = solvers[inner]
     data64 = np.asarray(A.data, np.float64)
     A64 = CSR.from_arrays(data64, A.indices, A.indptr, A.shape).to_dia()
@@ -388,10 +393,12 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
     from ..sparse.containers import CSR, DIA
 
     solvers = {"cs_minres": cs_minres, "bicgstab": bicgstab}
-    if inner == "bicgstab" or inner == "cs_minres":
-        inner_fn = solvers[inner]
-    else:
-        inner_fn = cs_minres  # the complex default
+    if inner not in solvers:
+        raise IncompatibleMatrixFormat(
+            "refine inner solver must be 'cs_minres' or 'bicgstab' for "
+            f"complex systems (got {inner!r})"
+        )
+    inner_fn = solvers[inner]
     data = np.asarray(A.data, np.complex128)
     re64 = CSR.from_arrays(data.real, A.indices, A.indptr, A.shape).to_dia()
     im64 = CSR.from_arrays(data.imag, A.indices, A.indptr, A.shape).to_dia()

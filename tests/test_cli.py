@@ -59,3 +59,16 @@ def test_solve_bad_rhs_length(lap_mtx, tmp_path, capsys):
     bad = tmp_path / "bad.npy"
     np.save(bad, np.ones(7))
     assert main(["solve", path, "--rhs", str(bad)]) == 2
+
+
+def test_solve_refine_flag(lap_mtx, capsys):
+    A, path, b, bpath = lap_mtx
+    rc = main(["solve", path, "--rhs", bpath, "--method", "bicgstab",
+               "--precond", "jacobi", "--refine", "--tol", "1e-13",
+               "--max-iter", "20"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "CONVERGED" in out and "[refined]" in out
+    # true residual reported by the CLI is already checked against 'rel-res'
+    rel = float(out.split("true rel-res ")[1].split(",")[0])
+    assert rel < 1e-12
