@@ -109,10 +109,10 @@ def _cmd_solve(args):
     except errors.SolverError as e:
         print(f"solver error: {e}", file=sys.stderr)
         return 1
-    wall = time.perf_counter() - t0
     import jax
 
-    jax.block_until_ready(x)
+    jax.block_until_ready(x)  # async dispatch: materialize before timing
+    wall = time.perf_counter() - t0
     x_np = np.asarray(x)
     r = np.asarray(A.matvec(x)) - b
     relres = float(np.linalg.norm(r) / max(np.linalg.norm(b), 1e-300))

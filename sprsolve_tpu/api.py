@@ -80,14 +80,11 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
             )
         return (A.to_csr() if isinstance(A, CSC) else A), None, False
 
-    op = A
-    if optimize_layout:
-        if isinstance(A, CSC):
-            op = _optimize(A.to_csr())
-        elif isinstance(A, CSR):
-            op = _optimize(A)
-
     if isinstance(M, str) and M == "amg":
+        if method == "cs_minres":
+            raise InvalidPreconditioner(
+                "cs_minres has no preconditioned form; pass M=None"
+            )
         # algebraic multigrid-lite: RCM localizes the graph so consecutive-
         # pair (1-D grid) aggregation is meaningful, then the geometric
         # hierarchy machinery applies unchanged. Works for any SPD-ish CSR —
@@ -113,6 +110,14 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
             # layout only (the outer Reordered boundary handles perm)
             return op, RelayedPrecond(inner=mg, op=inner_op), True
         return op, mg, True
+
+
+    op = A
+    if optimize_layout:
+        if isinstance(A, CSC):
+            op = _optimize(A.to_csr())
+        elif isinstance(A, CSR):
+            op = _optimize(A)
 
     if isinstance(M, str) and M in ("ilu0", "ic0", "block_jacobi"):
         src = A.to_csr() if isinstance(A, CSC) else A

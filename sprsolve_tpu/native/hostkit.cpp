@@ -12,6 +12,7 @@
 // Plain C ABI, consumed via ctypes (no pybind11 in this environment).
 
 #include <algorithm>
+#include <charconv>
 #include <cmath>
 #include <complex>
 #include <cstdint>
@@ -117,6 +118,27 @@ int64_t ic0_impl(int64_t n, const int64_t* indptr, const int32_t* indices,
   return 0;
 }
 
+}  // namespace
+
+namespace {
+inline const char* mm_skip(const char* p, const char* end) {
+  for (;;) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
+      ++p;
+    if (p < end && *p == '%') {
+      while (p < end && *p != '\n') ++p;
+      continue;
+    }
+    return p;
+  }
+}
+template <typename T>
+inline const char* mm_number(const char* p, const char* end, T* out) {
+  p = mm_skip(p, end);
+  if (p < end && *p == '+') ++p;  // from_chars rejects a leading '+'
+  auto res = std::from_chars(p, end, *out);
+  return (res.ec == std::errc() && res.ptr != p) ? res.ptr : nullptr;
+}
 }  // namespace
 
 extern "C" {
@@ -312,43 +334,22 @@ int64_t csr_count_diagonals(int64_t n, const int64_t* indptr,
 // '%'-comment lines.  field: 0 = pattern, 1 = real/integer, 2 = complex.
 // Returns the number of entries parsed (== nnz on success), or -1 on a
 // malformed record / premature end.  ~50x the Python per-line loop.
+// Numeric parsing uses std::from_chars — locale-independent, unlike strtod
+// (a comma-decimal LC_NUMERIC would silently truncate "3.14" at the dot).
 int64_t mm_parse_coord(const char* text, int64_t len, int64_t nnz,
                        int32_t field, int64_t* rows, int64_t* cols,
                        double* re, double* im) {
   const char* p = text;
   const char* end = text + len;
   for (int64_t k = 0; k < nnz; ++k) {
-    // skip whitespace/newlines and comment lines
-    for (;;) {
-      while (p < end && (*p == ' ' || *p == '\t' || *p == '\r' || *p == '\n'))
-        ++p;
-      if (p < end && *p == '%') {
-        while (p < end && *p != '\n') ++p;
-        continue;
-      }
-      break;
-    }
-    if (p >= end) return -1;
-    char* q;
-    long long r = strtoll(p, &q, 10);
-    if (q == p) return -1;
-    p = q;
-    long long c = strtoll(p, &q, 10);
-    if (q == p) return -1;
-    p = q;
+    long long r, c;
+    if (!(p = mm_number(p, end, &r))) return -1;
+    if (!(p = mm_number(p, end, &c))) return -1;
     rows[k] = (int64_t)r - 1;
     cols[k] = (int64_t)c - 1;
     if (field >= 1) {
-      double v = strtod(p, &q);
-      if (q == p) return -1;
-      p = q;
-      re[k] = v;
-      if (field == 2) {
-        double vi = strtod(p, &q);
-        if (q == p) return -1;
-        p = q;
-        im[k] = vi;
-      }
+      if (!(p = mm_number(p, end, &re[k]))) return -1;
+      if (field == 2 && !(p = mm_number(p, end, &im[k]))) return -1;
     }
   }
   return nnz;

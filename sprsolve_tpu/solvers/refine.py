@@ -38,10 +38,10 @@ from .common import make_info
 
 class _State(NamedTuple):
     x: jax.Array        # (n,) f64 iterate
-    r_norm: jax.Array   # f64 scalar ‖b − A·x‖
-    prev_norm: jax.Array
+    r: jax.Array        # (n,) f64 residual b − A·x (carried: one A64 apply
+    #                     per outer step, matching the module docstring)
+    r_norm: jax.Array   # f64 scalar ‖r‖
     outer: jax.Array
-    inner_total: jax.Array
     status: jax.Array
 
 
@@ -109,10 +109,9 @@ def refine(
         r0 = b - A64.matvec(x0)
         st = _State(
             x=x0,
+            r=r0,
             r_norm=norm2(r0),
-            prev_norm=jnp.asarray(jnp.inf, jnp.float64),
             outer=jnp.int32(0),
-            inner_total=jnp.int32(0),
             status=jnp.int32(Status.RUNNING),
         )
 
@@ -124,19 +123,18 @@ def refine(
             )
 
         def body_fn(s_):
-            r64 = b - A64.matvec(s_.x)
-            d64, inner_its = correction(r64, s_.r_norm)
+            d64, _ = correction(s_.r, s_.r_norm)
             x = s_.x + d64
-            r_new = norm2(b - A64.matvec(x))
+            r_vec = b - A64.matvec(x)  # the step's single A64 apply
+            r_new = norm2(r_vec)
             # stagnation: refinement must contract; κ·ε_f32 too large if not
             improved = r_new < s_.r_norm * jnp.float64(0.5)
             keep = r_new < s_.r_norm  # accept any improvement
             return _State(
                 x=jnp.where(keep, x, s_.x),
+                r=jnp.where(keep, r_vec, s_.r),
                 r_norm=jnp.where(keep, r_new, s_.r_norm),
-                prev_norm=s_.r_norm,
                 outer=s_.outer + 1,
-                inner_total=s_.inner_total + inner_its,
                 status=jnp.where(
                     improved, s_.status, jnp.int32(Status.BREAKDOWN)
                 ),
@@ -205,7 +203,11 @@ def refine_solve(
         )
     inner_fn = solvers[inner]
     data64 = np.asarray(A.data, np.float64)
-    A64 = CSR.from_arrays(data64, A.indices, A.indptr, A.shape).to_dia()
+    csr64 = CSR.from_arrays(data64, A.indices, A.indptr, A.shape)
+    try:
+        A64 = csr64.to_dia()
+    except ValueError:  # > 64 distinct diagonals: residuals via the CSR path
+        A64 = csr64
     A32 = optimize(
         CSR.from_arrays(data64.astype(np.float32), A.indices, A.indptr,
                         A.shape)
@@ -320,6 +322,8 @@ def refine_complex(
     class _CState(NamedTuple):
         xr: jax.Array
         xi: jax.Array
+        rr: jax.Array
+        ri: jax.Array
         r_norm: jax.Array
         outer: jax.Array
         status: jax.Array
@@ -328,7 +332,7 @@ def refine_complex(
         tol_abs = tol * rhs_norm
         r0r, r0i = residual(x0_re, x0_im)
         st = _CState(
-            xr=x0_re, xi=x0_im,
+            xr=x0_re, xi=x0_im, rr=r0r, ri=r0i,
             r_norm=norm_pl(r0r, r0i),
             outer=jnp.int32(0),
             status=jnp.int32(Status.RUNNING),
@@ -342,15 +346,17 @@ def refine_complex(
             )
 
         def body_fn(s_):
-            rr, ri = residual(s_.xr, s_.xi)
-            dr, di, _ = correction(rr, ri, s_.r_norm)
+            dr, di, _ = correction(s_.rr, s_.ri, s_.r_norm)
             xr, xi = s_.xr + dr, s_.xi + di
-            r_new = norm_pl(*residual(xr, xi))
+            rr_new, ri_new = residual(xr, xi)  # the step's single apply
+            r_new = norm_pl(rr_new, ri_new)
             improved = r_new < s_.r_norm * jnp.float64(0.5)
             keep = r_new < s_.r_norm
             return _CState(
                 xr=jnp.where(keep, xr, s_.xr),
                 xi=jnp.where(keep, xi, s_.xi),
+                rr=jnp.where(keep, rr_new, s_.rr),
+                ri=jnp.where(keep, ri_new, s_.ri),
                 r_norm=jnp.where(keep, r_new, s_.r_norm),
                 outer=s_.outer + 1,
                 status=jnp.where(
@@ -398,15 +404,33 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
             "refine inner solver must be 'cs_minres' or 'bicgstab' for "
             f"complex systems (got {inner!r})"
         )
+    if inner == "cs_minres" and M is not None:
+        from ..errors import InvalidPreconditioner
+
+        raise InvalidPreconditioner(
+            "cs_minres has no preconditioned form; pass M=None or "
+            "inner='bicgstab'"
+        )
     inner_fn = solvers[inner]
     data = np.asarray(A.data, np.complex128)
-    re64 = CSR.from_arrays(data.real, A.indices, A.indptr, A.shape).to_dia()
-    im64 = CSR.from_arrays(data.imag, A.indices, A.indptr, A.shape).to_dia()
-    A64 = _PlanesDIA(re=re64, im=im64)
-    A32 = ComplexPaddedDIA.from_csr(
-        CSR.from_arrays(data.astype(np.complex64), A.indices, A.indptr,
-                        A.shape)
-    )
+    re64_csr = CSR.from_arrays(data.real, A.indices, A.indptr, A.shape)
+    im64_csr = CSR.from_arrays(data.imag, A.indices, A.indptr, A.shape)
+    try:
+        A64 = _PlanesDIA(re=re64_csr.to_dia(), im=im64_csr.to_dia())
+    except ValueError:  # > 64 diagonals: residual planes via the CSR path
+        A64 = _PlanesDIA(re=re64_csr, im=im64_csr)
+    try:
+        A32 = ComplexPaddedDIA.from_csr(
+            CSR.from_arrays(data.astype(np.complex64), A.indices, A.indptr,
+                            A.shape)
+        )
+    except ValueError:  # non-banded: inner solves on real-leaved CSR planes
+        A32 = _PlanesComplexOp(
+            re=CSR.from_arrays(data.real.astype(np.float32), A.indices,
+                               A.indptr, A.shape),
+            im=CSR.from_arrays(data.imag.astype(np.float32), A.indices,
+                               A.indptr, A.shape),
+        )
     if isinstance(M, str):
         if M != "jacobi":
             raise IncompatibleMatrixFormat(
@@ -429,3 +453,37 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
         jnp.asarray(x0.real), jnp.asarray(x0.imag),
     )
     return np.asarray(xr) + 1j * np.asarray(xi), info
+
+
+class _PlanesComplexOp(NamedTuple):
+    """c64 operator as real f32 re/im CSR planes — the non-banded fallback
+    for complex inner solves (real leaves cross the jit boundary; the
+    complex view exists only inside the compiled program)."""
+
+    re: object
+    im: object
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        xr, xi = jnp.real(x), jnp.imag(x)
+        return (self.re.matvec(xr) - self.im.matvec(xi)) + 1j * (
+            self.re.matvec(xi) + self.im.matvec(xr)
+        )
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+    def jacobi_precond(self):
+        from ..precond import ComplexDiagPrecond
+        import numpy as np
+
+        d = np.asarray(self.re.diagonal()) + 1j * np.asarray(
+            self.im.diagonal()
+        )
+        return ComplexDiagPrecond.new(d)

@@ -178,3 +178,13 @@ def test_amg_rejects_operator_input():
     A, _ = _unstructured_spd(100, seed=2)
     with pytest.raises(sp.errors.InvalidPreconditioner):
         sp.solve(A.to_ell(), np.zeros(100), M="amg", tol=1e-8, max_iter=10)
+
+
+def test_amg_with_cs_minres_raises():
+    A, _ = _unstructured_spd(100, seed=3)
+    Ac = sp.CSR.from_arrays(
+        np.asarray(A.data, np.complex128), A.indices, A.indptr, A.shape
+    )
+    with pytest.raises(sp.errors.InvalidPreconditioner):
+        sp.solve(Ac, np.zeros(100, complex), method="cs_minres", M="amg",
+                 tol=1e-8, max_iter=10)

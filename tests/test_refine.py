@@ -96,3 +96,28 @@ def test_complex_refinement_bicgstab_inner():
     dense = np.asarray(A.todense())
     r = dense @ np.asarray(x) - rhs
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-11
+
+
+def test_unstructured_matrix_falls_back_to_csr_residuals():
+    # > 64 distinct diagonals: to_dia is impossible; residuals ride the CSR
+    # path and refinement still reaches f64 accuracy
+    rng = np.random.default_rng(9)
+    n = 300
+    dense = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.05)
+    dense = (dense + dense.T) / 2 + np.eye(n) * 10
+    A = sp.csr_from_dense(dense)
+    x, info = sp.refine_solve(A, rng.standard_normal(n), inner="cg",
+                              tol=1e-12)
+    info.raise_if_error()
+
+
+def test_complex_cs_minres_with_M_raises():
+    A, rhs, _ = problems.complex_symmetric_grid_with_diag((6, 6))
+    with pytest.raises(sp.errors.InvalidPreconditioner):
+        sp.refine_solve(A, rhs, inner="cs_minres", M="jacobi", tol=1e-10)
+
+
+def test_unknown_inner_raises():
+    A, _ = _spd(8)
+    with pytest.raises(sp.errors.IncompatibleMatrixFormat):
+        sp.refine_solve(A, np.ones(64), inner="lsqr", tol=1e-10)
