@@ -91,6 +91,17 @@ def lobpcg(
     """
     if X0.ndim != 2:
         raise IncompatibleMatrixFormat("X0 must be (n, k)")
+    if hasattr(A, "pad_vec"):
+        # padded kernel operators work in their internal (rows, lanes)
+        # layout; the block algebra here is flat (n, k) — round-trip each
+        # apply (pad/unpad are reshapes, cheap against the (n, 3k) SpMM)
+        from ..multigrid import FlatViewOperator
+
+        A = FlatViewOperator(op=A)
+    if M is not None and hasattr(M, "pad_vec"):
+        from ..multigrid import FlatViewOperator
+
+        M = FlatViewOperator(op=M)
     n, k = X0.shape
     if hasattr(A, "shape") and A.shape is not None and A.shape[1] != n:
         raise IncompatibleMatrixFormat(

@@ -104,3 +104,24 @@ def test_scipy_compat_lobpcg():
     # scipy's lobpcg defaults to largest=True
     np.testing.assert_allclose(np.sort(np.asarray(w)), ev[-4:], atol=1e-6)
     assert np.asarray(v).shape == (256, 4)
+
+
+def test_padded_kernel_operator():
+    # optimize() returns a PaddedDIA for banded matrices; lobpcg must accept
+    # it (auto flat-view) and match the flat-operator result
+    A, dense = _spd_poisson(10)
+    from sprsolve_tpu.ops.optimize import optimize
+
+    op = optimize(
+        sp.CSR.from_arrays(
+            np.asarray(A.data, np.float32), A.indices, A.indptr, A.shape
+        )
+    )
+    assert hasattr(op, "pad_vec")
+    X0 = jnp.asarray(
+        np.random.default_rng(7).standard_normal((100, 2)), jnp.float32
+    )
+    lam, _, info = sp.lobpcg(op, X0, tol=1e-4, max_iter=300)
+    info.raise_if_error()
+    ev = np.linalg.eigvalsh(dense)
+    np.testing.assert_allclose(np.asarray(lam), ev[:2], atol=1e-3)
