@@ -45,6 +45,7 @@ from .solvers import (
     gauss_seidel,
     gauss_seidel_redblack,
     gmres,
+    idrs,
     lobpcg,
     lsqr,
     greedy_color,
@@ -72,6 +73,7 @@ __all__ = [
     "block_cg",
     "cg",
     "gmres",
+    "idrs",
     "lobpcg",
     "lsqr",
     "minres",

@@ -143,7 +143,7 @@ def main(argv=None):
     p_solve.add_argument("--rhs", help=".npy/.mtx/text file for b (default: ones)")
     p_solve.add_argument(
         "--method", default="bicgstab",
-        choices=["bicgstab", "cg", "minres", "cs_minres", "gmres", "lsqr"],
+        choices=["bicgstab", "cg", "minres", "cs_minres", "gmres", "idrs", "lsqr"],
     )
     p_solve.add_argument(
         "--precond", default="none",

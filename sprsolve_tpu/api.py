@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .errors import IncompatibleMatrixFormat
 from .ops.operator import as_operator
-from .solvers import bicgstab, cg, cs_minres, gauss_seidel, gmres, lsqr, minres
+from .solvers import bicgstab, cg, cs_minres, gauss_seidel, gmres, idrs, lsqr, minres
 from .sparse.containers import CSR, ELL
 
 
@@ -51,6 +51,7 @@ _SOLVERS = {
     "minres": minres,
     "cs_minres": cs_minres,
     "gmres": gmres,
+    "idrs": idrs,
     "lsqr": lsqr,
 }
 

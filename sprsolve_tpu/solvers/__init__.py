@@ -6,6 +6,7 @@ from .bicgstab import bicgstab
 from .block_cg import batched, block_cg
 from .cg import cg
 from .gmres import gmres
+from .idrs import idrs
 from .lobpcg import lobpcg
 from .lsqr import lsqr
 from .minres import minres
@@ -28,6 +29,7 @@ __all__ = [
     "block_cg",
     "cg",
     "gmres",
+    "idrs",
     "lobpcg",
     "lsqr",
     "minres",

@@ -1,0 +1,204 @@
+"""IDR(s): induced dimension reduction for nonsymmetric systems.
+
+Not present in the reference (its nonsymmetric solver is BiCGStab,
+``src/bicg_stab.rs``); added for framework completeness — IDR(s) (Sonneveld
+& van Gijzen 2008, biorthogonal variant of van Gijzen & Sonneveld 2011) is
+the modern short-recurrence alternative: per cycle it spends s+1 SpMVs and
+provably shrinks the residual into a space of dimension reduced by s, often
+converging in fewer total SpMVs than BiCGStab (= IDR(1) up to rounding) on
+hard nonsymmetric problems, without GMRES's growing basis.
+
+TPU shape: the shadow space P is a *fixed* (n, s) random block, so the
+per-step projections Pᴴ·v are (s, n)×(n,) matvecs — tall-skinny MXU work —
+and all per-cycle algebra is over static-size (s,)/(s, s) arrays. The k
+loop inside a cycle is unrolled (s is a static Python int, default 4);
+cycles run under ``lax.while_loop`` with the usual status-code carry.
+
+Preconditioning is right-style as in the reference TOMS algorithm: every
+new direction v is replaced by M⁻¹v before multiplication by A.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..errors import Status
+from ..ops.operator import IdentityOperator
+from ..vecalg import conj_dot, eps_for, norm2
+from .common import check_shapes, make_info
+
+
+class _State(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    G: jax.Array       # (n, s) directions in the current G_j space
+    U: jax.Array       # (n, s) their preimages (A·U ≈ G)
+    Mm: jax.Array      # (s, s) Pᴴ·G
+    om: jax.Array      # current ω
+    r_norm: jax.Array
+    its: jax.Array     # matvec count (comparable to other solvers' iters)
+    status: jax.Array
+
+
+def idrs(
+    A,
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    *,
+    M=None,
+    s: int = 4,
+    tol,
+    max_iter,
+    axis_name: Optional[str] = None,
+):
+    """Solve nonsymmetric A·x = b with IDR(s). Returns ``(x, SolveInfo)``.
+
+    ``iterations`` counts operator applications (SpMVs) so it is directly
+    comparable with BiCGStab's 2-per-iteration cost. ``max_iter`` bounds the
+    SpMV count. ``M`` is applied as a right preconditioner to each new
+    direction. ``s`` is the shadow-space dimension (static; 4 is the
+    standard default, 1 ≈ BiCGStab).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    check_shapes(A, b, x0, axis_name)
+    if M is None:
+        M = IdentityOperator(b.shape[0])
+    T = b.dtype
+    rdt = jnp.real(b).dtype if jnp.iscomplexobj(b) else jnp.finfo(T).dtype
+    tol = jnp.asarray(tol, rdt)
+    max_iter = jnp.asarray(max_iter, jnp.int32)
+    eps = eps_for(T)
+    tiny = jnp.asarray(jnp.finfo(rdt).tiny * 1e3, rdt)
+    n = b.shape[0]
+    s = int(s)
+
+    # fixed shadow space: seeded unit-normal block, orthonormalized — the
+    # same P for every run of the same shape (deterministic like the rest
+    # of the package). Complex systems get a complex shadow space.
+    key = jax.random.key(7)
+    P = jax.random.normal(key, (n, s), dtype=rdt).astype(T)
+    if jnp.iscomplexobj(b):
+        P = P + 1j * jax.random.normal(
+            jax.random.fold_in(key, 1), (n, s), dtype=rdt
+        ).astype(T)
+    P, _ = jnp.linalg.qr(P)
+    PH = P.conj().T  # (s, n)
+
+    def pdot(v):
+        h = PH @ v
+        if axis_name is not None:
+            h = lax.psum(h, axis_name)
+        return h
+
+    def main(rhs_norm):
+        tol2 = tol * rhs_norm
+
+        r0 = b - A.matvec(x0)
+        st = _State(
+            x=x0,
+            r=r0,
+            G=jnp.zeros((n, s), T),
+            U=jnp.zeros((n, s), T),
+            Mm=jnp.eye(s, dtype=T),
+            om=jnp.ones((), T),
+            r_norm=norm2(r0, axis_name),
+            its=jnp.int32(1),
+            status=jnp.int32(Status.RUNNING),
+        )
+
+        def cond_fn(s_):
+            return (
+                (s_.status == Status.RUNNING)
+                & (s_.its < max_iter)
+                & (s_.r_norm > tol2)
+            )
+
+        def body_fn(s_):
+            x, r, G, U, Mm, om = s_.x, s_.r, s_.G, s_.U, s_.Mm, s_.om
+            status = s_.status
+            its = s_.its
+            f = pdot(r)  # (s,)
+
+            for k in range(s):  # static unroll: s is a Python int
+                # solve the lower-triangular system M[k:, k:] c = f[k:]
+                # (forward substitution, static shapes via masking)
+                c = jnp.zeros((s,), T)
+                for i in range(k, s):
+                    acc = f[i] - (Mm[i] * c).sum()
+                    den = Mm[i, i]
+                    den = jnp.where(jnp.abs(den) > tiny, den, jnp.ones((), T))
+                    c = c.at[i].set(acc / den)
+                # v = r − Σ_{i≥k} c_i G_i ; preimage u built the same way
+                v = r - G @ c
+                v = M.matvec(v)
+                u = U @ c + om * v
+                g = A.matvec(u)
+                # biorthogonalize g against the already-updated P columns
+                for i in range(k):
+                    den = Mm[i, i]
+                    den = jnp.where(jnp.abs(den) > tiny, den, jnp.ones((), T))
+                    alpha = pdot(g)[i] / den
+                    g = g - alpha * G[:, i]
+                    u = u - alpha * U[:, i]
+                mk = pdot(g)
+                Mm = Mm.at[:, k].set(mk)
+                dkk = mk[k]
+                ok = jnp.abs(dkk) > tiny
+                beta = f[k] / jnp.where(ok, dkk, jnp.ones((), T))
+                beta = jnp.where(ok, beta, jnp.zeros((), T))
+                r = r - beta * g
+                x = x + beta * u
+                f = f - beta * mk
+                G = G.at[:, k].set(g)
+                U = U.at[:, k].set(u)
+                its = its + 1
+                status = jnp.where(
+                    ok, status, jnp.int32(Status.BREAKDOWN)
+                )
+
+            # ω step: enter the next G space
+            v = M.matvec(r)
+            t = A.matvec(v)
+            its = its + 1
+            tt = jnp.real(conj_dot(t, t, axis_name))
+            tr = conj_dot(t, r, axis_name)
+            ok_t = tt > jnp.zeros((), rdt)
+            om = jnp.where(
+                ok_t, tr / jnp.where(ok_t, tt, jnp.ones((), rdt)).astype(T),
+                jnp.zeros((), T),
+            )
+            x = x + om * v
+            r = r - om * t
+            return _State(
+                x=x, r=r, G=G, U=U, Mm=Mm, om=om,
+                r_norm=norm2(r, axis_name),
+                its=its,
+                status=status,
+            )
+
+        final = lax.while_loop(cond_fn, body_fn, st)
+        converged = (final.status == Status.RUNNING) & (
+            final.r_norm <= tol2
+        )
+        status = jnp.where(
+            converged,
+            jnp.int32(Status.CONVERGED),
+            jnp.where(
+                final.status == Status.RUNNING,
+                jnp.int32(Status.INSUFFICIENT_ITER),
+                final.status,
+            ),
+        )
+        return final.x, make_info(final.its, final.r_norm / rhs_norm, status)
+
+    rhs_norm = norm2(b, axis_name)
+
+    def trivial(_):
+        return jnp.zeros_like(x0), make_info(0, rhs_norm, Status.CONVERGED)
+
+    return lax.cond(rhs_norm <= eps, trivial, lambda _: main(rhs_norm), None)

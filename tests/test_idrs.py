@@ -1,0 +1,99 @@
+"""IDR(s): dense-solve oracles, matvec economy vs BiCGStab, complex,
+preconditioning, API routing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sprsolve_tpu as sp
+from sprsolve_tpu.utils import problems
+
+
+def _dirichlet(shape=(20, 20)):
+    A = problems.grid_laplacian_dirichlet(shape)
+    b = np.zeros(shape[0] * shape[1])
+    problems.set_boundary_condition(b, shape, lambda r, c: float(r + c))
+    return A, b
+
+
+def test_matches_dense_solve_nonsymmetric():
+    rng = np.random.default_rng(0)
+    n = 120
+    dense = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    dense += np.eye(n) * 6.0  # diagonally dominant, nonsymmetric
+    A = sp.csr_from_dense(dense)
+    b = rng.standard_normal(n)
+    x, info = sp.idrs(A, jnp.asarray(b), tol=1e-12, max_iter=2000)
+    info.raise_if_error()
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(dense, b), atol=1e-9
+    )
+
+
+def test_reference_workload_and_matvec_economy():
+    A, b = _dirichlet()
+    x, info = sp.idrs(A.to_dia(), jnp.asarray(b), s=4, tol=1e-13,
+                      max_iter=3000)
+    info.raise_if_error()
+    r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-11
+    # BiCGStab spends 2 SpMVs per iteration; IDR(s) should not need more
+    # total matvecs than ~1.5x BiCGStab's on this easy problem
+    _, info_b = sp.bicgstab(A.to_dia(), jnp.asarray(b), tol=1e-13,
+                            max_iter=3000)
+    assert int(info.iterations) <= int(info_b.iterations) * 2 * 1.5
+
+
+def test_s1_and_s8_both_converge():
+    A, b = _dirichlet((12, 12))
+    for s_dim in (1, 8):
+        x, info = sp.idrs(A, jnp.asarray(b), s=s_dim, tol=1e-12,
+                          max_iter=3000)
+        info.raise_if_error()
+        r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - b
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+
+def test_preconditioned():
+    A, b = _dirichlet()
+    M = sp.ILU0Precond.from_csr(A)
+    x, info = sp.idrs(A, jnp.asarray(b), M=M, tol=1e-13, max_iter=3000)
+    info.raise_if_error()
+    _, info_0 = sp.idrs(A, jnp.asarray(b), tol=1e-13, max_iter=3000)
+    assert int(info.iterations) < int(info_0.iterations)
+    r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-11
+
+
+def test_complex_system():
+    A, rhs, _ = problems.complex_symmetric_grid_with_diag((8, 8))
+    x, info = sp.idrs(A, jnp.asarray(rhs), tol=1e-12, max_iter=3000)
+    info.raise_if_error()
+    dense = np.asarray(A.todense())
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(dense, rhs), atol=1e-8
+    )
+
+
+def test_solve_api_and_jit():
+    A, b = _dirichlet((16, 16))
+    x, info = sp.solve(A, b, method="idrs", M="jacobi", tol=1e-12,
+                       max_iter=3000, s=4)
+    info.raise_if_error()
+    r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+    run = jax.jit(lambda a, bb: sp.idrs(a, bb, tol=1e-10, max_iter=2000))
+    x2, info2 = run(A.to_dia(), jnp.asarray(b))
+    info2.raise_if_error()
+
+
+def test_zero_rhs_and_warm_start():
+    A, b = _dirichlet((10, 10))
+    x, info = sp.idrs(A, jnp.zeros(100), tol=1e-10, max_iter=100)
+    assert int(info.iterations) == 0 and np.all(np.asarray(x) == 0)
+    x1, _ = sp.idrs(A, jnp.asarray(b), tol=1e-13, max_iter=3000)
+    _, info_w = sp.idrs(A, jnp.asarray(b), x1, tol=1e-10, max_iter=100)
+    info_w.raise_if_error()
+    assert int(info_w.iterations) <= 2
