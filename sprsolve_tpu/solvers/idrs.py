@@ -16,6 +16,12 @@ cycles run under ``lax.while_loop`` with the usual status-code carry.
 
 Preconditioning is right-style as in the reference TOMS algorithm: every
 new direction v is replaced by M⁻¹v before multiplication by A.
+
+Cost model (measured on v5e at 1M rows): each step streams the (n, s)
+G/U/P blocks in addition to the SpMV, so the per-matvec wall cost is
+several times BiCGStab's — IDR(s) pays off when *matvec count* is the
+bottleneck (hard nonsymmetric spectra, expensive operators), not on easy
+stencils where the fused BiCGStab path is already at memory speed.
 """
 
 from __future__ import annotations
@@ -74,7 +80,11 @@ def idrs(
     max_iter = jnp.asarray(max_iter, jnp.int32)
     eps = eps_for(T)
     tiny = jnp.asarray(jnp.finfo(rdt).tiny * 1e3, rdt)
-    n = b.shape[0]
+    # vectors may live in a 2-D kernel layout (padded operators); the
+    # shadow-space algebra works on raveled views, solution vectors keep
+    # their native shape
+    n = b.size
+    vshape = b.shape
     s = int(s)
 
     # fixed shadow space: seeded unit-normal block, orthonormalized — the
@@ -90,7 +100,7 @@ def idrs(
     PH = P.conj().T  # (s, n)
 
     def pdot(v):
-        h = PH @ v
+        h = PH @ v.reshape(-1)
         if axis_name is not None:
             h = lax.psum(h, axis_name)
         return h
@@ -134,17 +144,17 @@ def idrs(
                     den = jnp.where(jnp.abs(den) > tiny, den, jnp.ones((), T))
                     c = c.at[i].set(acc / den)
                 # v = r − Σ_{i≥k} c_i G_i ; preimage u built the same way
-                v = r - G @ c
+                v = r - (G @ c).reshape(vshape)
                 v = M.matvec(v)
-                u = U @ c + om * v
+                u = (U @ c).reshape(vshape) + om * v
                 g = A.matvec(u)
                 # biorthogonalize g against the already-updated P columns
                 for i in range(k):
                     den = Mm[i, i]
                     den = jnp.where(jnp.abs(den) > tiny, den, jnp.ones((), T))
                     alpha = pdot(g)[i] / den
-                    g = g - alpha * G[:, i]
-                    u = u - alpha * U[:, i]
+                    g = g - alpha * G[:, i].reshape(vshape)
+                    u = u - alpha * U[:, i].reshape(vshape)
                 mk = pdot(g)
                 Mm = Mm.at[:, k].set(mk)
                 dkk = mk[k]
@@ -154,8 +164,8 @@ def idrs(
                 r = r - beta * g
                 x = x + beta * u
                 f = f - beta * mk
-                G = G.at[:, k].set(g)
-                U = U.at[:, k].set(u)
+                G = G.at[:, k].set(g.reshape(-1))
+                U = U.at[:, k].set(u.reshape(-1))
                 its = its + 1
                 status = jnp.where(
                     ok, status, jnp.int32(Status.BREAKDOWN)

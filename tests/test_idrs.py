@@ -97,3 +97,17 @@ def test_zero_rhs_and_warm_start():
     _, info_w = sp.idrs(A, jnp.asarray(b), x1, tol=1e-10, max_iter=100)
     info_w.raise_if_error()
     assert int(info_w.iterations) <= 2
+
+
+def test_padded_kernel_layout():
+    # solve() optimizes banded input to the padded kernel operator; IDR(s)'s
+    # shadow algebra must ride the 2-D layout
+    A, b = _dirichlet((16, 16))
+    A32 = sp.CSR.from_arrays(
+        np.asarray(A.data, np.float32), A.indices, A.indptr, A.shape
+    )
+    x, info = sp.solve(A32, b.astype(np.float32), method="idrs",
+                       M="jacobi", tol=1e-5, max_iter=2000)
+    info.raise_if_error()
+    r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4
