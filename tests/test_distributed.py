@@ -153,3 +153,14 @@ def test_distributed_gmres():
     info.raise_if_error()
     r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - rhs
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-10
+
+
+def test_distributed_idrs():
+    """IDR(s)'s shadow projections psum under shard_map (a replicated local
+    shadow block is still a valid global shadow space)."""
+    A, rhs = _dirichlet((16, 16))
+    x, info = distributed_solve(sp.idrs, A.to_dia(), rhs, tol=1e-12,
+                                max_iter=2000)
+    info.raise_if_error()
+    r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-10
