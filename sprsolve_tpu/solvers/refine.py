@@ -20,6 +20,12 @@ of a remote TPU is paid once, not per refinement step.
 The residual is normalized before the f32 cast (the inner system is always
 solved at unit scale), so refinement proceeds to f64 machine epsilon
 without f32 underflow.
+
+Compile cost: the nested outer/inner while_loop program is the most
+expensive compile in the package (verified functional on the remote-AOT
+TPU backend, where it takes minutes at first call; seconds on CPU).  The
+``refine_solve`` runners are module-level jits keyed by the static
+configuration, so repeated solves share the compiled executable.
 """
 
 from __future__ import annotations
@@ -224,16 +230,13 @@ def refine_solve(
             from ..precond import DiagPrecond
 
             M = DiagPrecond.new(A32.diagonal())
-    run = jax.jit(
-        lambda a64, a32, bb, xx0: refine(
-            a64, a32, bb, xx0,
-            inner=inner_fn, M=M, tol=tol, max_refine=max_refine,
-            inner_tol=inner_tol, inner_max_iter=inner_max_iter,
-        )
-    )
     b = jnp.asarray(b, jnp.float64)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float64)
-    return run(A64, A32, b, x0)
+    return _jit_refine(
+        A64, A32, b, x0, M,
+        inner=inner_fn, tol=tol, max_refine=max_refine,
+        inner_tol=inner_tol, inner_max_iter=inner_max_iter,
+    )
 
 
 class _PlanesDIA(NamedTuple):
@@ -438,19 +441,14 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
                 "inner-layout preconditioner"
             )
         M = A32.jacobi_precond()
-    run = jax.jit(
-        lambda a64, a32, br, bi, xr0, xi0: refine_complex(
-            a64, a32, br, bi, xr0, xi0,
-            inner=inner_fn, M=M, tol=tol, max_refine=max_refine,
-            inner_tol=inner_tol, inner_max_iter=inner_max_iter,
-        )
-    )
     b = np.asarray(b, np.complex128)
     x0 = np.zeros_like(b) if x0 is None else np.asarray(x0, np.complex128)
-    xr, xi, info = run(
+    xr, xi, info = _jit_refine_complex(
         A64, A32,
         jnp.asarray(b.real), jnp.asarray(b.imag),
-        jnp.asarray(x0.real), jnp.asarray(x0.imag),
+        jnp.asarray(x0.real), jnp.asarray(x0.imag), M,
+        inner=inner_fn, tol=tol, max_refine=max_refine,
+        inner_tol=inner_tol, inner_max_iter=inner_max_iter,
     )
     return np.asarray(xr) + 1j * np.asarray(xi), info
 
@@ -487,3 +485,35 @@ class _PlanesComplexOp(NamedTuple):
             self.im.diagonal()
         )
         return ComplexDiagPrecond.new(d)
+
+
+# module-level jitted runners so repeated refine_solve calls with the same
+# configuration share the compile cache (a fresh jitted lambda per call
+# would re-trace every time — the nested outer/inner while_loop program is
+# the most expensive compile in the package, minutes on remote-AOT TPU
+# backends)
+@partial(
+    jax.jit,
+    static_argnames=("inner", "tol", "max_refine", "inner_tol",
+                     "inner_max_iter"),
+)
+def _jit_refine(a64, a32, b, x0, M, *, inner, tol, max_refine, inner_tol,
+                inner_max_iter):
+    return refine(
+        a64, a32, b, x0, inner=inner, M=M, tol=tol, max_refine=max_refine,
+        inner_tol=inner_tol, inner_max_iter=inner_max_iter,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("inner", "tol", "max_refine", "inner_tol",
+                     "inner_max_iter"),
+)
+def _jit_refine_complex(a64, a32, br, bi, xr0, xi0, M, *, inner, tol,
+                        max_refine, inner_tol, inner_max_iter):
+    return refine_complex(
+        a64, a32, br, bi, xr0, xi0, inner=inner, M=M, tol=tol,
+        max_refine=max_refine, inner_tol=inner_tol,
+        inner_max_iter=inner_max_iter,
+    )
