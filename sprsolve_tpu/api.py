@@ -180,10 +180,22 @@ def solve(
 
     ``A`` may be a CSR container (layout chosen via :func:`optimize` — the
     Pallas kernel path for banded matrices, with transparent padding) or any
-    LinearOperator (used as-is).  ``M`` may be a :class:`DiagPrecond` or
-    ``"jacobi"`` to build one from A's diagonal.  This is the high-level
-    entry a user of the reference's ``BiCGStab::new(...).solve(...)`` flow
-    reaches for when they don't care about layouts.
+    LinearOperator (used as-is).
+
+    ``method``: ``"bicgstab"`` (default), ``"cg"``, ``"minres"``,
+    ``"cs_minres"``, ``"gmres"`` (accepts ``restart=``), ``"idrs"``
+    (accepts ``s=``), ``"lsqr"`` (rectangular; accepts ``damp=``/``AH=``).
+    See ``docs/solvers.md`` for the selection guide.
+
+    ``M``: a preconditioner object, or one of the strings ``"jacobi"``,
+    ``"block_jacobi"``, ``"ilu0"``, ``"ic0"``, ``"amg"`` (built from the
+    matrix here).  See ``docs/preconditioners.md``.
+
+    This is the high-level entry a user of the reference's
+    ``BiCGStab::new(...).solve(...)`` flow reaches for when they don't care
+    about layouts.  For many right-hand sides use :func:`prepare`; for
+    f64/c128 accuracy on TPU use
+    :func:`~sprsolve_tpu.solvers.refine_solve`.
     """
     solver = _SOLVERS[method]
     b = jnp.asarray(b)
