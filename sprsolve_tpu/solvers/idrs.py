@@ -34,7 +34,7 @@ from jax import lax
 
 from ..errors import Status
 from ..ops.operator import IdentityOperator
-from ..vecalg import conj_dot, eps_for, norm2
+from ..vecalg import conj_dot, norm2
 from .common import check_shapes, make_info
 
 
@@ -64,8 +64,9 @@ def idrs(
     """Solve nonsymmetric A·x = b with IDR(s). Returns ``(x, SolveInfo)``.
 
     ``iterations`` counts operator applications (SpMVs) so it is directly
-    comparable with BiCGStab's 2-per-iteration cost. ``max_iter`` bounds the
-    SpMV count. ``M`` is applied as a right preconditioner to each new
+    comparable with BiCGStab's 2-per-iteration cost. ``max_iter`` gates
+    cycle entry: a final cycle may finish past it, so up to s+1 extra
+    applies can occur. ``M`` is applied as a right preconditioner to each new
     direction. ``s`` is the shadow-space dimension (static; 4 is the
     standard default, 1 ≈ BiCGStab).
     """
@@ -78,7 +79,6 @@ def idrs(
     rdt = jnp.real(b).dtype if jnp.iscomplexobj(b) else jnp.finfo(T).dtype
     tol = jnp.asarray(tol, rdt)
     max_iter = jnp.asarray(max_iter, jnp.int32)
-    eps = eps_for(T)
     tiny = jnp.asarray(jnp.finfo(rdt).tiny * 1e3, rdt)
     # vectors may live in a 2-D kernel layout (padded operators); the
     # shadow-space algebra works on raveled views, solution vectors keep
@@ -148,14 +148,18 @@ def idrs(
                 v = M.matvec(v)
                 u = (U @ c).reshape(vshape) + om * v
                 g = A.matvec(u)
-                # biorthogonalize g against the already-updated P columns
+                # biorthogonalize g against the already-updated P columns:
+                # one full projection, then updated incrementally
+                # (Pᴴ(g − α·G_i) = h − α·Mm[:, i] since Mm[:, i] = Pᴴ G_i)
+                h = pdot(g)
                 for i in range(k):
                     den = Mm[i, i]
                     den = jnp.where(jnp.abs(den) > tiny, den, jnp.ones((), T))
-                    alpha = pdot(g)[i] / den
+                    alpha = h[i] / den
                     g = g - alpha * G[:, i].reshape(vshape)
                     u = u - alpha * U[:, i].reshape(vshape)
-                mk = pdot(g)
+                    h = h - alpha * Mm[:, i]
+                mk = h
                 Mm = Mm.at[:, k].set(mk)
                 dkk = mk[k]
                 ok = jnp.abs(dkk) > tiny
@@ -171,17 +175,28 @@ def idrs(
                     ok, status, jnp.int32(Status.BREAKDOWN)
                 )
 
-            # ω step: enter the next G space
+            # ω step: enter the next G space, with the TOMS-913
+            # "maintaining convergence" safeguard: when t and r are nearly
+            # orthogonal (|ρ| < κ) the minimal-residual ω collapses and the
+            # recurrence stagnates; rescale ω by κ/|ρ| (κ = 0.7)
             v = M.matvec(r)
             t = A.matvec(v)
             its = its + 1
             tt = jnp.real(conj_dot(t, t, axis_name))
             tr = conj_dot(t, r, axis_name)
             ok_t = tt > jnp.zeros((), rdt)
+            safe_tt = jnp.where(ok_t, tt, jnp.ones((), rdt))
+            om = tr / safe_tt.astype(T)
+            kappa = jnp.asarray(0.7, rdt)
+            rho = jnp.abs(tr) / jnp.sqrt(safe_tt * jnp.maximum(
+                jnp.real(conj_dot(r, r, axis_name)), tiny))
             om = jnp.where(
-                ok_t, tr / jnp.where(ok_t, tt, jnp.ones((), rdt)).astype(T),
-                jnp.zeros((), T),
+                rho < kappa,
+                om * (kappa / jnp.maximum(rho, tiny)).astype(T),
+                om,
             )
+            om = jnp.where(ok_t, om, jnp.zeros((), T))
+            status = jnp.where(ok_t, status, jnp.int32(Status.BREAKDOWN))
             x = x + om * v
             r = r - om * t
             return _State(
@@ -206,9 +221,6 @@ def idrs(
         )
         return final.x, make_info(final.its, final.r_norm / rhs_norm, status)
 
-    rhs_norm = norm2(b, axis_name)
+    from .common import with_zero_rhs_guard
 
-    def trivial(_):
-        return jnp.zeros_like(x0), make_info(0, rhs_norm, Status.CONVERGED)
-
-    return lax.cond(rhs_norm <= eps, trivial, lambda _: main(rhs_norm), None)
+    return with_zero_rhs_guard(b, x0, main, axis_name)

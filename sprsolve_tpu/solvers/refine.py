@@ -232,11 +232,20 @@ def refine_solve(
             M = DiagPrecond.new(A32.diagonal())
     b = jnp.asarray(b, jnp.float64)
     x0 = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float64)
-    return _jit_refine(
-        A64, A32, b, x0, M,
-        inner=inner_fn, tol=tol, max_refine=max_refine,
-        inner_tol=inner_tol, inner_max_iter=inner_max_iter,
-    )
+    if _m_traceable(M):
+        return _jit_refine(
+            A64, A32, b, x0, M,
+            inner=inner_fn, tol=tol, max_refine=max_refine,
+            inner_tol=inner_tol, inner_max_iter=inner_max_iter,
+        )
+    # custom (non-pytree) preconditioner: closure capture, uncached jit —
+    # the pre-cache behavior
+    run = jax.jit(lambda a64, a32, bb, xx0: refine(
+        a64, a32, bb, xx0, inner=inner_fn, M=M, tol=tol,
+        max_refine=max_refine, inner_tol=inner_tol,
+        inner_max_iter=inner_max_iter,
+    ))
+    return run(A64, A32, b, x0)
 
 
 class _PlanesDIA(NamedTuple):
@@ -443,13 +452,21 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
         M = A32.jacobi_precond()
     b = np.asarray(b, np.complex128)
     x0 = np.zeros_like(b) if x0 is None else np.asarray(x0, np.complex128)
-    xr, xi, info = _jit_refine_complex(
-        A64, A32,
-        jnp.asarray(b.real), jnp.asarray(b.imag),
-        jnp.asarray(x0.real), jnp.asarray(x0.imag), M,
-        inner=inner_fn, tol=tol, max_refine=max_refine,
-        inner_tol=inner_tol, inner_max_iter=inner_max_iter,
-    )
+    args = (A64, A32, jnp.asarray(b.real), jnp.asarray(b.imag),
+            jnp.asarray(x0.real), jnp.asarray(x0.imag))
+    if _m_traceable(M):
+        xr, xi, info = _jit_refine_complex(
+            *args, M,
+            inner=inner_fn, tol=tol, max_refine=max_refine,
+            inner_tol=inner_tol, inner_max_iter=inner_max_iter,
+        )
+    else:
+        run = jax.jit(lambda a64, a32, br, bi, xr0, xi0: refine_complex(
+            a64, a32, br, bi, xr0, xi0, inner=inner_fn, M=M, tol=tol,
+            max_refine=max_refine, inner_tol=inner_tol,
+            inner_max_iter=inner_max_iter,
+        ))
+        xr, xi, info = run(*args)
     return np.asarray(xr) + 1j * np.asarray(xi), info
 
 
@@ -485,6 +502,21 @@ class _PlanesComplexOp(NamedTuple):
             self.im.diagonal()
         )
         return ComplexDiagPrecond.new(d)
+
+
+def _m_traceable(M) -> bool:
+    """True when M can cross the jit boundary as a traced pytree argument
+    (None, or every leaf an array). Custom host objects with ``matvec`` fall
+    back to closure capture (no cross-call compile cache)."""
+    import numpy as np
+
+    if M is None:
+        return True
+    try:
+        leaves = jax.tree_util.tree_leaves(M)
+    except Exception:
+        return False
+    return all(isinstance(l, (jax.Array, np.ndarray, float, int)) for l in leaves)
 
 
 # module-level jitted runners so repeated refine_solve calls with the same

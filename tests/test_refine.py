@@ -121,3 +121,37 @@ def test_unknown_inner_raises():
     A, _ = _spd(8)
     with pytest.raises(sp.errors.IncompatibleMatrixFormat):
         sp.refine_solve(A, np.ones(64), inner="lsqr", tol=1e-10)
+
+
+def test_custom_host_preconditioner_object():
+    """A plain (non-pytree) object with matvec must work as M — closure
+    capture fallback, the pre-cache behavior. (M lives in the inner
+    operator's layout: use an unstructured matrix so the inner path is flat
+    CSR.)"""
+    rng = np.random.default_rng(10)
+    n = 144
+    dense = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.05)
+    dense = (dense + dense.T) / 2 + np.eye(n) * 10
+    A = sp.csr_from_dense(dense)
+
+    class MyJacobi:
+        def __init__(self, d):
+            self.dinv = jnp.asarray(1.0 / d, jnp.float32)
+
+        @property
+        def shape(self):
+            n = self.dinv.shape[0]
+            return (n, n)
+
+        def matvec(self, x):
+            return x * self.dinv
+
+        def matvec_dot(self, x):
+            y = self.matvec(x)
+            return y, jnp.vdot(x, y)
+
+    M = MyJacobi(np.asarray(A.diagonal()))
+    b = np.random.default_rng(11).standard_normal(144)
+    x, info = sp.refine_solve(A, b, inner="cg", M=M, tol=1e-12)
+    info.raise_if_error()
+    assert np.linalg.norm(dense @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-11
