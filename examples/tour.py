@@ -65,6 +65,10 @@ print(f"{'MINRES + SSOR':27s} {int(info.iterations):4d} iters  rel-res {relres(A
 x, info = sp.solve(A, b, method="gmres", restart=32, tol=1e-12, max_iter=1000)
 print(f"{'GMRES(32)':27s} {int(info.iterations):4d} iters  rel-res {relres(A, x, b):.2e}")
 
+# --- hard nonsymmetric: IDR(s) ---------------------------------------------
+x, info = sp.solve(A, b, method="idrs", s=4, tol=1e-12, max_iter=3000)
+print(f"{'IDR(4)':27s} {int(info.iterations):4d} SpMVs  rel-res {relres(A, x, b):.2e}")
+
 # --- complex symmetric: CS-MINRES (the solver the reference never tests) --
 Ac, bc, _diag = problems.complex_symmetric_grid_with_diag((12, 12))
 xc, info = sp.cs_minres(Ac, jnp.asarray(bc), tol=1e-12, max_iter=600)
