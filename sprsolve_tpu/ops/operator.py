@@ -34,6 +34,23 @@ class LinearOperator(Protocol):
         ...
 
 
+def mv_conj_dot(A, x: jax.Array, axis_name=None):
+    """(y = A·conj(x), conj(x)·y) — the CS-MINRES Saunders step
+    (``src/cs_minres.rs:99-103``). Fused single-pass form on operators
+    providing ``matvec_conj_dot`` (the two-plane kernel folds the
+    conjugation into the accumulation); composed conj→matvec→dot
+    otherwise. The dot is the *unconjugated* product of conj(x) with y,
+    which equals ``conj_dot(x, y)``."""
+    from ..vecalg import _psum_if, conj, conj_dot
+
+    fn = getattr(A, "matvec_conj_dot", None)
+    if fn is not None:
+        y, d = fn(x)
+        return y, _psum_if(d, axis_name)
+    y = A.matvec(conj(x))
+    return y, conj_dot(x, y, axis_name)
+
+
 def mv_wdot(A, x: jax.Array, w: jax.Array, axis_name=None):
     """(y = A·x, conj(w)·y) with the dot folded into the SpMV pass when the
     operator provides ``matvec_wdot`` (the w-vector analog of dotmv). The

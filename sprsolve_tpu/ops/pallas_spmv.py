@@ -230,20 +230,34 @@ def _dia_complex_kernel(
 
 def _dia_complex_dot_kernel(
     bre_ref, bim_ref, xr_ref, xi_ref, yr_ref, yi_ref, part_ref,
-    *, offsets, hr, lanes,
+    *, offsets, hr, lanes, conj_x=False,
 ):
     """Complex SpMV + per-block partials of conj(x)·(A·x) in one pass.
 
     dot = Σ conj(x)·y = Σ (xr·yr + xi·yi) + i·(xr·yi − xi·yr); the two real
     partials are accumulated per grid step into disjoint SMEM slots while x
     and y are in VMEM — the two-plane mkl_sparse_?_dotmv analog
-    (``src/mkl_mat.rs:242-319``)."""
+    (``src/mkl_mat.rs:242-319``).
+
+    ``conj_x=True`` computes y = A·conj(x) instead (the CS-MINRES Saunders
+    step, ``src/cs_minres.rs:99-103``): the conjugation is a sign flip of
+    the xi plane folded into the accumulation — no separate conj pass — and
+    the SAME partial expressions then equal the Saunders α = conj(x)·y
+    (unconjugated product of conj(x) with y)."""
     br = yr_ref.shape[0]
     kw = dict(offsets=offsets, hr=hr, lanes=lanes, br=br, dtype=yr_ref.dtype)
     xr = xr_ref[:, :]
     xi = xi_ref[:, :]
-    yr = _band_accumulate(bre_ref, xr, **kw) - _band_accumulate(bim_ref, xi, **kw)
-    yi = _band_accumulate(bre_ref, xi, **kw) + _band_accumulate(bim_ref, xr, **kw)
+    rr = _band_accumulate(bre_ref, xr, **kw)
+    ii = _band_accumulate(bim_ref, xi, **kw)
+    ri = _band_accumulate(bre_ref, xi, **kw)
+    ir = _band_accumulate(bim_ref, xr, **kw)
+    if conj_x:
+        yr = rr + ii
+        yi = ir - ri
+    else:
+        yr = rr - ii
+        yi = ri + ir
     yr_ref[:, :] = yr
     yi_ref[:, :] = yi
     xr_b = xr_ref[hr : hr + br, :]
@@ -253,9 +267,12 @@ def _dia_complex_dot_kernel(
     part_ref[i, 1] = jnp.sum(xr_b * yi - xi_b * yr)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "hr", "lanes", "block_rows", "conj_x"),
+)
 def _dia_complex_dotmv_pallas_call(
-    bre3, bim3, xr2, xi2, offsets, hr, lanes, block_rows
+    bre3, bim3, xr2, xi2, offsets, hr, lanes, block_rows, conj_x=False
 ):
     d, r_pad, _ = bre3.shape
     grid = (r_pad // block_rows,)
@@ -272,7 +289,8 @@ def _dia_complex_dotmv_pallas_call(
     )
     yr, yi, parts = _pallas_call(
         functools.partial(
-            _dia_complex_dot_kernel, offsets=offsets, hr=hr, lanes=lanes
+            _dia_complex_dot_kernel, offsets=offsets, hr=hr, lanes=lanes,
+            conj_x=conj_x,
         ),
         grid=grid,
         in_specs=[bspec, bspec, win, win],
@@ -678,6 +696,21 @@ class ComplexPaddedDIA:
         yr_body, yi_body, dre, dim = _dia_complex_dotmv_pallas_call(
             p.bands3, self.im.bands3, jnp.real(x2), jnp.imag(x2),
             p.offsets, p.hr, p.lanes, p.block_rows,
+        )
+        halo = jnp.zeros((p.hr, p.lanes), dtype=yr_body.dtype)
+        yr = jnp.concatenate([halo, yr_body, halo], axis=0)
+        yi = jnp.concatenate([halo, yi_body, halo], axis=0)
+        y = (yr + 1j * yi).astype(x2.dtype)
+        return y, (dre + 1j * dim).astype(x2.dtype)
+
+    def matvec_conj_dot(self, x2: jax.Array):
+        """Fused (A·conj(x), conj(x)·(A·conj(x))) — the CS-MINRES Saunders
+        step in one kernel pass: the conjugation is a sign fold in VMEM, so
+        the separate conj pass and dot pass both disappear."""
+        p = self.re
+        yr_body, yi_body, dre, dim = _dia_complex_dotmv_pallas_call(
+            p.bands3, self.im.bands3, jnp.real(x2), jnp.imag(x2),
+            p.offsets, p.hr, p.lanes, p.block_rows, conj_x=True,
         )
         halo = jnp.zeros((p.hr, p.lanes), dtype=yr_body.dtype)
         yr = jnp.concatenate([halo, yr_body, halo], axis=0)

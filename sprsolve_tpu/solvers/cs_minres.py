@@ -99,9 +99,13 @@ def cs_minres(
             beta = s_.beta_new
             v_old, v = s_.v, s_.v_new
 
-            tvec = conj(v)                      # conj(q_k)  (src/cs_minres.rs:99)
-            v_new = A.matvec(tvec)              # A·conj(q_k)
-            alpha = conj_dot(v, v_new, axis_name)
+            # A·conj(q_k) and α = conj(q_k)·(A·conj(q_k)) in one operator
+            # pass where supported (the two-plane kernel folds the
+            # conjugation and the dot into the SpMV; src/cs_minres.rs:99-103)
+            from ..ops.operator import mv_conj_dot
+
+            tvec = conj(v)                      # conj(q_k), seeds p below
+            v_new, alpha = mv_conj_dot(A, v, axis_name)
             v_new = axpy((-beta).astype(T), v_old, v_new)
             v_new = axpy(-alpha, v, v_new)
             beta_new = norm2(v_new, axis_name)

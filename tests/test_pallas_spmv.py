@@ -96,3 +96,33 @@ def test_fused_orth_norm_matches_unfused():
     np.testing.assert_allclose(
         float(sumsq), float(jnp.sum(want * want)), rtol=1e-12
     )
+
+
+def test_complex_conj_dotmv_matches_composed():
+    """matvec_conj_dot == (A·conj(x), conj_dot(x, A·conj(x))) on the
+    two-plane kernel (interpret mode)."""
+    import numpy as np
+
+    from sprsolve_tpu.ops.pallas_spmv import ComplexPaddedDIA
+    from sprsolve_tpu.sparse.containers import CSR
+    from sprsolve_tpu.utils import problems
+    import sprsolve_tpu as sp
+    import jax.numpy as jnp
+
+    A0 = problems.poisson3d(8, 8, 8)
+    rng = np.random.default_rng(0)
+    data = (np.asarray(A0.data) * (1 - 0.6j)).astype(np.complex64)
+    cop = ComplexPaddedDIA.from_csr(
+        CSR.from_arrays(data, A0.indices, A0.indptr, A0.shape),
+        lanes=128, block_rows=8,
+    )
+    x = rng.standard_normal(512).astype(np.float32) + 1j * rng.standard_normal(
+        512
+    ).astype(np.float32)
+    x2 = cop.pad_vec(jnp.asarray(x.astype(np.complex64)))
+    y_f, d_f = cop.matvec_conj_dot(x2)
+    y_c = cop.matvec(jnp.conj(x2))
+    d_c = jnp.sum(jnp.conj(x2) * y_c)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=2e-5,
+                               atol=2e-5)
+    assert abs(complex(d_f) - complex(d_c)) < 1e-2 * max(1.0, abs(complex(d_c)))
