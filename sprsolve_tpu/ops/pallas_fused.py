@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_spmv import _I0, _band_accumulate, _pallas_call
+from .pallas_spmv import _I0, _pallas_call
 
 
 def _orth_norm_kernel(

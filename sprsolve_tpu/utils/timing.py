@@ -21,7 +21,6 @@ from dataclasses import dataclass
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 # public per-chip HBM bandwidth numbers (GB/s) for roofline accounting
 HBM_GBPS = {
