@@ -66,6 +66,38 @@ def mv_wdot(A, x: jax.Array, w: jax.Array, axis_name=None):
     return y, conj_dot(w, y, axis_name)
 
 
+def mv_prec_wdot(A, M, x: jax.Array, w: jax.Array, axis_name=None):
+    """(u = M⁻¹·x, y = A·u, conj(w)·y) with a *diagonal* M folded into the
+    SpMV input stage where the operator supports ``matvec_wdot_prec``; the
+    returned u is then a lazy elementwise expression XLA fuses into its
+    consumer (BiCGStab's x-update), not a materialized pass."""
+    from ..precond import DiagPrecond
+    from ..vecalg import _psum_if
+
+    fn = getattr(A, "matvec_wdot_prec", None)
+    if fn is not None and type(M) is DiagPrecond:
+        y, wd, _ = fn(x, w, M.diag_inv)
+        return x * M.diag_inv, y, _psum_if(wd, axis_name)
+    u = M.matvec(x)
+    y, wd = mv_wdot(A, u, w, axis_name)
+    return u, y, wd
+
+
+def mv_prec_wdot2(A, M, x: jax.Array, w: jax.Array, axis_name=None):
+    """(u = M⁻¹·x, y = A·u, conj(w)·y, conj(y)·y) — the second-half variant
+    of :func:`mv_prec_wdot`."""
+    from ..precond import DiagPrecond
+    from ..vecalg import _psum_if
+
+    fn = getattr(A, "matvec_wdot_prec", None)
+    if fn is not None and type(M) is DiagPrecond:
+        y, wd, yd = fn(x, w, M.diag_inv)
+        return x * M.diag_inv, y, _psum_if(wd, axis_name), _psum_if(yd, axis_name)
+    u = M.matvec(x)
+    y, wd, yd = mv_wdot2(A, u, w, axis_name)
+    return u, y, wd, yd
+
+
 def mv_wdot2(A, x: jax.Array, w: jax.Array, axis_name=None):
     """(y = A·x, conj(w)·y, conj(y)·y) — both of BiCGStab's post-SpMV
     reductions in the SpMV pass where the operator supports it."""

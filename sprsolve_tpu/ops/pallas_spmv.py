@@ -176,6 +176,65 @@ def _dia_wdot_kernel(bands_ref, x_ref, w_ref, y_ref, part_ref, *, offsets, hr, l
     part_ref[i, 1] = jnp.sum(acc * acc)
 
 
+def _dia_wdot_prec_kernel(bands_ref, x_ref, dinv_ref, w_ref, y_ref,
+                          part_ref, *, offsets, hr, lanes):
+    """Jacobi-folded w-dot SpMV: y = A·(dinv ⊙ x) plus the two partials of
+    the plain w-dot kernel.  The preconditioner apply happens in VMEM on the
+    staged window — the u = M⁻¹x vector never round-trips HBM (BiCGStab's
+    y/z intermediates), at the cost of one extra window stream (dinv)."""
+    br = y_ref.shape[0]
+    xw = x_ref[:, :] * dinv_ref[:, :]
+    acc = _band_accumulate(
+        bands_ref, xw, offsets=offsets, hr=hr, lanes=lanes,
+        br=br, dtype=y_ref.dtype,
+    )
+    y_ref[:, :] = acc
+    i = pl.program_id(0)
+    part_ref[i, 0] = jnp.sum(w_ref[hr : hr + br, :] * acc)
+    part_ref[i, 1] = jnp.sum(acc * acc)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
+def _dia_wdot_prec_pallas_call(bands3, x2, dinv2, w2, offsets, hr, lanes,
+                               block_rows):
+    d, r_pad, _ = bands3.shape
+    grid = (r_pad // block_rows,)
+    win = pl.BlockSpec(
+        (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
+        lambda i: (i * block_rows, _I0),
+        memory_space=pltpu.VMEM,
+    )
+    y, partials = _pallas_call(
+        functools.partial(
+            _dia_wdot_prec_kernel, offsets=offsets, hr=hr, lanes=lanes
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (d, block_rows, lanes), lambda i: (_I0, i, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+            win,
+            win,
+            win,
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (block_rows, lanes), lambda i: (i, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((grid[0], 2), lambda i: (_I0, _I0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
+            jax.ShapeDtypeStruct((grid[0], 2), x2.dtype),
+        ),
+    )(bands3, x2, dinv2, w2)
+    sums = jnp.sum(partials, axis=0)
+    return y, sums[0], sums[1]
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
 def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows):
     d, r_pad, _ = bands3.shape
@@ -544,6 +603,28 @@ class PaddedDIA:
             return y, conj_dot(w2, y), conj_dot(y, y)
         y_body, wd, yd = _dia_wdot_pallas_call(
             self.bands3, x2, w2, self.offsets, self.hr, self.lanes,
+            self.block_rows,
+        )
+        halo = jnp.zeros((self.hr, self.lanes), dtype=x2.dtype)
+        y = jnp.concatenate([halo, y_body, halo], axis=0)
+        return y, wd, yd
+
+    def matvec_wdot_prec(self, x2: jax.Array, w2: jax.Array,
+                         dinv2: jax.Array):
+        """Jacobi-folded w-dot: (A·(dinv ⊙ x), conj(w)·y, conj(y)·y).
+
+        The diagonal-preconditioner apply runs in VMEM on the staged x
+        window, so BiCGStab's y = M⁻¹p / z = M⁻¹r intermediates never
+        round-trip HBM (two full vector passes per iteration saved for one
+        extra window stream). Real dtypes only."""
+        if jnp.iscomplexobj(x2) or jnp.iscomplexobj(self.bands3):
+            from ..vecalg import conj_dot
+
+            u = x2 * dinv2
+            y = self.matvec(u)
+            return y, conj_dot(w2, y), conj_dot(y, y)
+        y_body, wd, yd = _dia_wdot_prec_pallas_call(
+            self.bands3, x2, dinv2, w2, self.offsets, self.hr, self.lanes,
             self.block_rows,
         )
         halo = jnp.zeros((self.hr, self.lanes), dtype=x2.dtype)

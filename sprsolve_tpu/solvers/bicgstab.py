@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..errors import SolveInfo, Status
-from ..ops.operator import IdentityOperator, mv_wdot, mv_wdot2
+from ..ops.operator import (
+    IdentityOperator,
+    mv_prec_wdot,
+    mv_prec_wdot2,
+)
 from ..vecalg import axpby, axpy, conj_dot, eps_for, norm2
 from .common import check_shapes, make_info
 
@@ -128,15 +132,14 @@ def bicgstab(
             # ---- unrolled first iteration (src/bicg_stab.rs:87-120 / :258-293)
             rho = (r0_norm * r0_norm).astype(T)
             p = r
-            y = M.matvec(p)
-            # v = A·y with conj(r0)·v taken inside the SpMV pass (the dots
-            # BiCGStab needs are against r0/s, not the SpMV input, so the
-            # dotmv form doesn't apply — mv_wdot is the w-vector variant)
-            v, r0v = mv_wdot(A, y, r0, axis_name)
+            # y = M⁻¹p and v = A·y with conj(r0)·v taken inside the SpMV
+            # pass (the dots BiCGStab needs are against r0/s, not the SpMV
+            # input, so the dotmv form doesn't apply); a diagonal M folds
+            # into the kernel's input stage so y never round-trips HBM
+            y, v, r0v = mv_prec_wdot(A, M, p, r0, axis_name)
             alpha = rho / r0v
             s = axpy(-alpha, v, r)          # r ← r − α·v (now the algorithm's s)
-            z = M.matvec(s)
-            t, st_, tt = mv_wdot2(A, z, s, axis_name)
+            z, t, st_, tt = mv_prec_wdot2(A, M, s, s, axis_name)
             # conj_dot(t, s) = conj(conj_dot(s, t)) — identical arithmetic,
             # but st_ rides inside the SpMV pass (src/bicg_stab.rs:108-113)
             w = jnp.where(
@@ -210,8 +213,7 @@ def bicgstab(
                     p = axpby(-beta * s_.w, s_.v, beta, s_.p)
                     p = axpy(jnp.ones((), T), r_, p)
 
-                    y = M.matvec(p)
-                    v, r0v = mv_wdot(A, y, r0_, axis_name)
+                    y, v, r0v = mv_prec_wdot(A, M, p, r0_, axis_name)
 
                     # breakdown exit |r0·v| ≤ 0 (src/bicg_stab.rs:164-167) as
                     # predicated arithmetic, not a lax.cond: a vector-carrying
@@ -224,8 +226,7 @@ def bicgstab(
                     ok = jnp.abs(r0v) > 0
                     alpha = rho / jnp.where(ok, r0v, jnp.ones((), T))
                     sres = axpy(-alpha, v, r_)   # s
-                    z = M.matvec(sres)
-                    t, st_, tt = mv_wdot2(A, z, sres, axis_name)
+                    z, t, st_, tt = mv_prec_wdot2(A, M, sres, sres, axis_name)
                     w = jnp.where(
                         jnp.real(tt) > 0,
                         jnp.conj(st_) / tt,

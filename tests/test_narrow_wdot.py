@@ -109,3 +109,47 @@ def test_bicgstab_degenerate_system_never_false_converges():
     b = jnp.asarray(np.array([1.0, 0.0]))
     x, info = sp.bicgstab(A, b, tol=1e-30, max_iter=50)
     assert int(info.status) != int(Status.CONVERGED)
+
+
+def test_wdot_prec_matches_composed():
+    """matvec_wdot_prec == (A·(dinv⊙x), dots) vs the composed path
+    (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import sprsolve_tpu as sp
+    from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
+    from sprsolve_tpu.utils import problems
+
+    A = problems.poisson3d(8, 8, 8, dtype=np.float32)
+    p = PaddedDIA.from_dia(A.to_dia(), lanes=128, block_rows=8)
+    rng = np.random.default_rng(0)
+    x = p.pad_vec(jnp.asarray(rng.standard_normal(512), jnp.float32))
+    w = p.pad_vec(jnp.asarray(rng.standard_normal(512), jnp.float32))
+    M = p.jacobi_precond()
+    y_f, wd_f, yd_f = p.matvec_wdot_prec(x, w, M.diag_inv)
+    u = x * M.diag_inv
+    y_c = p.matvec(u)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_c), rtol=2e-5,
+                               atol=2e-6)
+    assert abs(float(wd_f) - float(jnp.sum(w * y_c))) < 1e-2
+    assert abs(float(yd_f) - float(jnp.sum(y_c * y_c))) < 1e-2
+
+
+def test_bicgstab_jacobi_padded_fused_converges():
+    import numpy as np
+    import jax.numpy as jnp
+
+    import sprsolve_tpu as sp
+    from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
+    from sprsolve_tpu.utils import problems
+
+    A = problems.poisson3d(8, 8, 8, dtype=np.float32)
+    p = PaddedDIA.from_dia(A.to_dia(), lanes=128, block_rows=8)
+    b = p.pad_vec(jnp.asarray(
+        np.random.default_rng(1).standard_normal(512), jnp.float32))
+    x, info = sp.bicgstab(p, b, M=p.jacobi_precond(), tol=1e-5, max_iter=500)
+    info.raise_if_error()
+    r = p.matvec(x) - b
+    from sprsolve_tpu.vecalg import norm2
+    assert float(norm2(r)) / float(norm2(b)) < 1e-4
