@@ -38,6 +38,7 @@ from ..ops.pallas_spmv import (
     _dia_dotmv_pallas_call,
     _dia_pallas_call,
     _dia_wdot_pallas_call,
+    _dia_wdot_prec_pallas_call,
 )
 from ..sparse.containers import DIA
 
@@ -175,6 +176,28 @@ class DistPaddedDIA:
         return _dia_wdot_pallas_call(
             self.bands3,
             self._exchange_halo(body),
+            w_ext,
+            self.offsets,
+            self.hr,
+            self.lanes,
+            self.block_rows,
+        )
+
+    def matvec_wdot_prec(self, body: jax.Array, w_body: jax.Array,
+                         dinv_body: jax.Array):
+        """Jacobi-folded w-dot, the distributed mirror of
+        ``PaddedDIA.matvec_wdot_prec``: dinv gets the same neighbor halo
+        exchange as x (it is loop-invariant, so XLA hoists the exchange out
+        of the solver's while_loop)."""
+        if self.hr:
+            zh = jnp.zeros((self.hr, self.lanes), w_body.dtype)
+            w_ext = jnp.concatenate([zh, w_body, zh], axis=0)
+        else:
+            w_ext = w_body
+        return _dia_wdot_prec_pallas_call(
+            self.bands3,
+            self._exchange_halo(body),
+            self._exchange_halo(dinv_body),
             w_ext,
             self.offsets,
             self.hr,

@@ -114,3 +114,27 @@ def test_halo_too_wide_rejected():
     with pytest.raises(ValueError):
         # offsets ±144 with lanes=128 → hr=2 > r_local=1 for huge device count
         DistPaddedDIA.from_dia(A.to_dia(), 64, lanes=128, block_rows=1)
+
+
+def test_distributed_bicgstab_jacobi_fused_prec():
+    """DistPaddedDIA + DiagPrecond rides the Jacobi-folded w-dot kernel
+    (matvec_wdot_prec) under shard_map — the distributed mirror of the
+    single-chip fold; converges to the composed-path answer."""
+    import numpy as np
+
+    import sprsolve_tpu as sp
+    from sprsolve_tpu.parallel import DistPaddedDIA, distributed_solve
+    from sprsolve_tpu.utils import problems
+
+    A = problems.grid_laplacian_dirichlet((16, 16), dtype=np.float32)
+    rhs = np.zeros(256, dtype=np.float32)
+    problems.set_boundary_condition(rhs, (16, 16), lambda r, c: np.float32(r + c))
+    op = DistPaddedDIA.from_dia(A.to_dia(), 8, lanes=128, block_rows=8)
+    assert hasattr(op, "matvec_wdot_prec")
+    M = sp.DiagPrecond.new(np.asarray(A.diagonal()))
+    x, info = distributed_solve(
+        sp.bicgstab, op, jnp.asarray(rhs), M=M, tol=1e-5, max_iter=500
+    )
+    info.raise_if_error()
+    r = np.asarray(A.matvec(jnp.asarray(x))) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-4
