@@ -156,7 +156,7 @@ def _dia_dot_kernel(bands_ref, x_ref, y_ref, dot_ref, *, offsets, hr, lanes):
     dot_ref[pl.program_id(0), 0] = jnp.sum(x_ref[hr : hr + br, :] * acc)
 
 
-def _dia_wdot_kernel(bands_ref, x_ref, w_ref, y_ref, part_ref, *, offsets, hr, lanes):
+def _dia_wdot_kernel(*refs, offsets, hr, lanes, has_dinv=False):
     """SpMV block + per-block partials of wᵀ·(A·x) *and* (A·x)ᵀ·(A·x).
 
     BiCGStab's two reduction barriers are dots against a vector *other than*
@@ -164,26 +164,16 @@ def _dia_wdot_kernel(bands_ref, x_ref, w_ref, y_ref, part_ref, *, offsets, hr, l
     plain dotmv form doesn't apply. This kernel takes the extra vector w as a
     window operand and emits both partials while y is still in VMEM — one w
     read (~1 stream) replaces a separate two-stream reduction pass per SpMV.
-    Real dtypes only (the solvers' complex path composes unfused)."""
+    With ``has_dinv`` a Jacobi reciprocal window multiplies the x window in
+    VMEM first (y = A·(dinv ⊙ x)) — BiCGStab's y/z intermediates never
+    round-trip HBM. Real dtypes only (complex composes unfused)."""
+    if has_dinv:
+        bands_ref, x_ref, dinv_ref, w_ref, y_ref, part_ref = refs
+        xw = x_ref[:, :] * dinv_ref[:, :]
+    else:
+        bands_ref, x_ref, w_ref, y_ref, part_ref = refs
+        xw = x_ref[:, :]
     br = y_ref.shape[0]
-    acc = _band_accumulate(
-        bands_ref, x_ref[:, :], offsets=offsets, hr=hr, lanes=lanes,
-        br=br, dtype=y_ref.dtype,
-    )
-    y_ref[:, :] = acc
-    i = pl.program_id(0)
-    part_ref[i, 0] = jnp.sum(w_ref[hr : hr + br, :] * acc)
-    part_ref[i, 1] = jnp.sum(acc * acc)
-
-
-def _dia_wdot_prec_kernel(bands_ref, x_ref, dinv_ref, w_ref, y_ref,
-                          part_ref, *, offsets, hr, lanes):
-    """Jacobi-folded w-dot SpMV: y = A·(dinv ⊙ x) plus the two partials of
-    the plain w-dot kernel.  The preconditioner apply happens in VMEM on the
-    staged window — the u = M⁻¹x vector never round-trips HBM (BiCGStab's
-    y/z intermediates), at the cost of one extra window stream (dinv)."""
-    br = y_ref.shape[0]
-    xw = x_ref[:, :] * dinv_ref[:, :]
     acc = _band_accumulate(
         bands_ref, xw, offsets=offsets, hr=hr, lanes=lanes,
         br=br, dtype=y_ref.dtype,
@@ -194,9 +184,14 @@ def _dia_wdot_prec_kernel(bands_ref, x_ref, dinv_ref, w_ref, y_ref,
     part_ref[i, 1] = jnp.sum(acc * acc)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
-def _dia_wdot_prec_pallas_call(bands3, x2, dinv2, w2, offsets, hr, lanes,
-                               block_rows):
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows")
+)
+def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows,
+                          *dinv2):
+    """One wrapper for both the plain and Jacobi-folded w-dot forms: pass
+    the reciprocal window as a trailing positional to enable the fold."""
+    has_dinv = bool(dinv2)
     d, r_pad, _ = bands3.shape
     grid = (r_pad // block_rows,)
     win = pl.BlockSpec(
@@ -204,56 +199,23 @@ def _dia_wdot_prec_pallas_call(bands3, x2, dinv2, w2, offsets, hr, lanes,
         lambda i: (i * block_rows, _I0),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (d, block_rows, lanes), lambda i: (_I0, i, _I0),
+            memory_space=pltpu.VMEM,
+        ),
+        win,
+    ]
+    if has_dinv:
+        in_specs.append(win)
+    in_specs.append(win)
     y, partials = _pallas_call(
         functools.partial(
-            _dia_wdot_prec_kernel, offsets=offsets, hr=hr, lanes=lanes
+            _dia_wdot_kernel, offsets=offsets, hr=hr, lanes=lanes,
+            has_dinv=has_dinv,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (d, block_rows, lanes), lambda i: (_I0, i, _I0),
-                memory_space=pltpu.VMEM,
-            ),
-            win,
-            win,
-            win,
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (block_rows, lanes), lambda i: (i, _I0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((grid[0], 2), lambda i: (_I0, _I0),
-                         memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
-            jax.ShapeDtypeStruct((grid[0], 2), x2.dtype),
-        ),
-    )(bands3, x2, dinv2, w2)
-    sums = jnp.sum(partials, axis=0)
-    return y, sums[0], sums[1]
-
-
-@functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
-def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows):
-    d, r_pad, _ = bands3.shape
-    grid = (r_pad // block_rows,)
-    win = pl.BlockSpec(
-        (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
-        lambda i: (i * block_rows, _I0),
-        memory_space=pltpu.VMEM,
-    )
-    y, partials = _pallas_call(
-        functools.partial(_dia_wdot_kernel, offsets=offsets, hr=hr, lanes=lanes),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (d, block_rows, lanes), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
-            ),
-            win,
-            win,
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (block_rows, lanes), lambda i: (i, _I0), memory_space=pltpu.VMEM
@@ -264,7 +226,7 @@ def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows):
             jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
             jax.ShapeDtypeStruct((grid[0], 2), x2.dtype),
         ),
-    )(bands3, x2, w2)
+    )(bands3, x2, *dinv2, w2)
     sums = jnp.sum(partials, axis=0)
     return y, sums[0], sums[1]
 
@@ -623,9 +585,9 @@ class PaddedDIA:
             u = x2 * dinv2
             y = self.matvec(u)
             return y, conj_dot(w2, y), conj_dot(y, y)
-        y_body, wd, yd = _dia_wdot_prec_pallas_call(
-            self.bands3, x2, dinv2, w2, self.offsets, self.hr, self.lanes,
-            self.block_rows,
+        y_body, wd, yd = _dia_wdot_pallas_call(
+            self.bands3, x2, w2, self.offsets, self.hr, self.lanes,
+            self.block_rows, dinv2,
         )
         halo = jnp.zeros((self.hr, self.lanes), dtype=x2.dtype)
         y = jnp.concatenate([halo, y_body, halo], axis=0)

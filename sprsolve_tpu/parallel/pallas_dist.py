@@ -38,7 +38,6 @@ from ..ops.pallas_spmv import (
     _dia_dotmv_pallas_call,
     _dia_pallas_call,
     _dia_wdot_pallas_call,
-    _dia_wdot_prec_pallas_call,
 )
 from ..sparse.containers import DIA
 
@@ -183,27 +182,11 @@ class DistPaddedDIA:
             self.block_rows,
         )
 
-    def matvec_wdot_prec(self, body: jax.Array, w_body: jax.Array,
-                         dinv_body: jax.Array):
-        """Jacobi-folded w-dot, the distributed mirror of
-        ``PaddedDIA.matvec_wdot_prec``: dinv gets the same neighbor halo
-        exchange as x (it is loop-invariant, so XLA hoists the exchange out
-        of the solver's while_loop)."""
-        if self.hr:
-            zh = jnp.zeros((self.hr, self.lanes), w_body.dtype)
-            w_ext = jnp.concatenate([zh, w_body, zh], axis=0)
-        else:
-            w_ext = w_body
-        return _dia_wdot_prec_pallas_call(
-            self.bands3,
-            self._exchange_halo(body),
-            self._exchange_halo(dinv_body),
-            w_ext,
-            self.offsets,
-            self.hr,
-            self.lanes,
-            self.block_rows,
-        )
+    # NOTE: no matvec_wdot_prec mirror here on purpose — folding the
+    # Jacobi apply into the kernel input would require a halo exchange of
+    # dinv per call (collectives are not hoisted out of while_loops), i.e.
+    # double the per-iteration ppermute count for a ~one-pass saving. The
+    # composed path (exchange u = M⁻¹x, one collective) is optimal here.
 
     def orth_norm(self, a, vold, v, beta, alpha):
         """Fused Lanczos orthogonalization + local Σ|v₊|² partial, the

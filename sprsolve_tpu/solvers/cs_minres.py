@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..errors import Status
+from ..ops.operator import mv_conj_dot
 from ..vecalg import abs2, axpy, conj, conj_dot, norm2, rscale
 from .common import check_shapes, make_info
 
@@ -102,8 +103,6 @@ def cs_minres(
             # A·conj(q_k) and α = conj(q_k)·(A·conj(q_k)) in one operator
             # pass where supported (the two-plane kernel folds the
             # conjugation and the dot into the SpMV; src/cs_minres.rs:99-103)
-            from ..ops.operator import mv_conj_dot
-
             tvec = conj(v)                      # conj(q_k), seeds p below
             v_new, alpha = mv_conj_dot(A, v, axis_name)
             v_new = axpy((-beta).astype(T), v_old, v_new)

@@ -117,7 +117,6 @@ def test_wdot_prec_matches_composed():
     import numpy as np
     import jax.numpy as jnp
 
-    import sprsolve_tpu as sp
     from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
     from sprsolve_tpu.utils import problems
 

@@ -116,10 +116,11 @@ def test_halo_too_wide_rejected():
         DistPaddedDIA.from_dia(A.to_dia(), 64, lanes=128, block_rows=1)
 
 
-def test_distributed_bicgstab_jacobi_fused_prec():
-    """DistPaddedDIA + DiagPrecond rides the Jacobi-folded w-dot kernel
-    (matvec_wdot_prec) under shard_map — the distributed mirror of the
-    single-chip fold; converges to the composed-path answer."""
+def test_distributed_bicgstab_jacobi_composed_prec():
+    """DistPaddedDIA deliberately has NO matvec_wdot_prec (folding dinv into
+    the kernel would add a halo ppermute per call — collectives are not
+    hoisted out of while_loops); DiagPrecond rides the composed path with
+    one collective per SpMV."""
     import numpy as np
 
     import sprsolve_tpu as sp
@@ -130,7 +131,7 @@ def test_distributed_bicgstab_jacobi_fused_prec():
     rhs = np.zeros(256, dtype=np.float32)
     problems.set_boundary_condition(rhs, (16, 16), lambda r, c: np.float32(r + c))
     op = DistPaddedDIA.from_dia(A.to_dia(), 8, lanes=128, block_rows=8)
-    assert hasattr(op, "matvec_wdot_prec")
+    assert not hasattr(op, "matvec_wdot_prec")
     M = sp.DiagPrecond.new(np.asarray(A.diagonal()))
     x, info = distributed_solve(
         sp.bicgstab, op, jnp.asarray(rhs), M=M, tol=1e-5, max_iter=500

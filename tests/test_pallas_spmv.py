@@ -106,7 +106,6 @@ def test_complex_conj_dotmv_matches_composed():
     from sprsolve_tpu.ops.pallas_spmv import ComplexPaddedDIA
     from sprsolve_tpu.sparse.containers import CSR
     from sprsolve_tpu.utils import problems
-    import sprsolve_tpu as sp
     import jax.numpy as jnp
 
     A0 = problems.poisson3d(8, 8, 8)
