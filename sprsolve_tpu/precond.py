@@ -283,7 +283,9 @@ class BlockJacobiPrecond:
         in_block = (rows // bs) == (indices // bs)
         r, c, v = rows[in_block], indices[in_block], data[in_block]
         blocks = np.zeros((nb, bs, bs), dtype=data.dtype)
-        blocks[r // bs, r % bs, c % bs] = v
+        # np.add.at sums duplicate (row, col) entries, consistent with
+        # CSR.diagonal() (fancy-index assignment would keep only the last)
+        np.add.at(blocks, (r // bs, r % bs, c % bs), v)
         pad = np.arange(n, nb * bs)  # unit diagonal keeps padded lanes inert
         blocks[pad // bs, pad % bs, pad % bs] = 1
         wide = blocks.astype(

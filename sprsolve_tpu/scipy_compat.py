@@ -186,6 +186,9 @@ def lobpcg(A, X, B=None, M=None, Y=None, tol=None, maxiter: int = 20,
     from .solvers import lobpcg as _lobpcg
 
     X = jnp.asarray(X)
+    if not jnp.issubdtype(X.dtype, jnp.inexact):
+        # scipy accepts integer X after promotion; np.finfo would raise
+        X = X.astype(jnp.promote_types(X.dtype, jnp.float32))
     if tol is None:
         tol = float(np.sqrt(np.finfo(np.asarray(X).dtype).eps))
     op = aslinearoperator(A)
@@ -208,6 +211,16 @@ def lsqr(A, b, damp: float = 0.0, atol: float = 1e-6, btol: float = 1e-6,
     acond, arnorm, xnorm, var)``.  ``acond`` is not estimated (NaN) and
     ``calc_var`` is unsupported; the solve itself uses ``max(atol, btol)``
     as the unified tolerance of :func:`sprsolve_tpu.solvers.lsqr`.
+
+    Supported-subset notes (deviations from scipy):
+
+    - ``conlim`` is accepted for signature compatibility but **ignored** —
+      no condition-number estimate is maintained, so the istop=3/6 exits
+      never fire.
+    - ``istop=1`` uses the approximation ``r1norm ≤ max(atol, btol)·‖b‖``
+      instead of scipy's ``btol·‖b‖ + atol·‖A‖·‖x‖`` test; callers that
+      branch on the exact scipy istop semantics should re-derive their
+      stopping classification from the returned norms.
     """
     if calc_var:
         raise NotImplementedError("lsqr calc_var is not supported")

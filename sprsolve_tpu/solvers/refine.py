@@ -48,6 +48,7 @@ class _State(NamedTuple):
     #                     per outer step, matching the module docstring)
     r_norm: jax.Array   # f64 scalar ‖r‖
     outer: jax.Array
+    stall: jax.Array    # consecutive weak-contraction steps (int32)
     status: jax.Array
 
 
@@ -118,6 +119,7 @@ def refine(
             r=r0,
             r_norm=norm2(r0),
             outer=jnp.int32(0),
+            stall=jnp.int32(0),
             status=jnp.int32(Status.RUNNING),
         )
 
@@ -133,16 +135,21 @@ def refine(
             x = s_.x + d64
             r_vec = b - A64.matvec(x)  # the step's single A64 apply
             r_new = norm2(r_vec)
-            # stagnation: refinement must contract; κ·ε_f32 too large if not
+            # stagnation: refinement must contract; κ·ε_f32 too large if not.
+            # A single weak step (factor in (0.5, 1)) can be a loose inner
+            # solve near the f32 floor — declare breakdown only after two
+            # consecutive weak contractions.
             improved = r_new < s_.r_norm * jnp.float64(0.5)
             keep = r_new < s_.r_norm  # accept any improvement
+            stall = jnp.where(improved, jnp.int32(0), s_.stall + 1)
             return _State(
                 x=jnp.where(keep, x, s_.x),
                 r=jnp.where(keep, r_vec, s_.r),
                 r_norm=jnp.where(keep, r_new, s_.r_norm),
                 outer=s_.outer + 1,
+                stall=stall,
                 status=jnp.where(
-                    improved, s_.status, jnp.int32(Status.BREAKDOWN)
+                    stall < 2, s_.status, jnp.int32(Status.BREAKDOWN)
                 ),
             )
 
@@ -338,6 +345,7 @@ def refine_complex(
         ri: jax.Array
         r_norm: jax.Array
         outer: jax.Array
+        stall: jax.Array
         status: jax.Array
 
     def main(rhs_norm):
@@ -347,6 +355,7 @@ def refine_complex(
             xr=x0_re, xi=x0_im, rr=r0r, ri=r0i,
             r_norm=norm_pl(r0r, r0i),
             outer=jnp.int32(0),
+            stall=jnp.int32(0),
             status=jnp.int32(Status.RUNNING),
         )
 
@@ -362,8 +371,10 @@ def refine_complex(
             xr, xi = s_.xr + dr, s_.xi + di
             rr_new, ri_new = residual(xr, xi)  # the step's single apply
             r_new = norm_pl(rr_new, ri_new)
+            # same two-consecutive-weak-steps stagnation rule as refine()
             improved = r_new < s_.r_norm * jnp.float64(0.5)
             keep = r_new < s_.r_norm
+            stall = jnp.where(improved, jnp.int32(0), s_.stall + 1)
             return _CState(
                 xr=jnp.where(keep, xr, s_.xr),
                 xi=jnp.where(keep, xi, s_.xi),
@@ -371,8 +382,9 @@ def refine_complex(
                 ri=jnp.where(keep, ri_new, s_.ri),
                 r_norm=jnp.where(keep, r_new, s_.r_norm),
                 outer=s_.outer + 1,
+                stall=stall,
                 status=jnp.where(
-                    improved, s_.status, jnp.int32(Status.BREAKDOWN)
+                    stall < 2, s_.status, jnp.int32(Status.BREAKDOWN)
                 ),
             )
 

@@ -48,6 +48,21 @@ def _expand_symmetry(row, col, val, sym):
     )
 
 
+def _check_record_count(tail: str, expected: int) -> None:
+    """Reject files whose data-record count disagrees with the size line
+    (a silent truncation at the declared count would hide corruption)."""
+    got = 0
+    for ln in tail.splitlines():
+        s = ln.strip()
+        if s and not s.startswith("%"):
+            got += 1
+    if got != expected:
+        raise ValueError(
+            f"malformed Matrix Market data: {got} records but the size "
+            f"line declares {expected}"
+        )
+
+
 def _loadtxt_block(tail: str, ncols: int, nrows: int) -> np.ndarray:
     import io as _io
 
@@ -116,6 +131,7 @@ def mmread(source):
         else:
             count = sum(m - j for j in range(n))
         width = 2 if field == "complex" else 1
+        _check_record_count(tail, count)
         block = _loadtxt_block(tail, width, count)
         vals = block[:, 0] + 1j * block[:, 1] if field == "complex" \
             else block[:, 0]
@@ -139,6 +155,7 @@ def mmread(source):
         return a
 
     m, n, nnz = int(size_parts[0]), int(size_parts[1]), int(size_parts[2])
+    _check_record_count(tail, nnz)
     field_code = {"pattern": 0, "real": 1, "integer": 1, "complex": 2}[field]
     from ..native import mm_parse_coord
 
