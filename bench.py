@@ -105,39 +105,59 @@ def time_spmv(spmv, op, x, iters=50, warmup=2):
     """
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     @jax.jit
-    def chain(op, x, n_iters):
+    def chain(op, x, n_iters, bump):
         # n_iters is TRACED: the loop bound stays dynamic, so XLA cannot
         # unroll it (an unrolled 500-copy Pallas loop took ~10 min to
         # compile remotely) and one compilation serves every length.
+        # ``bump`` perturbs the input so every dispatch computes on
+        # different values — repeated IDENTICAL dispatches could be served
+        # from a response memo by the device relay, and the min over
+        # identical repeats would then under-measure. One elementwise
+        # multiply, amortized over the whole chain.
+        x = x * (jnp.ones((), x.dtype) + bump.astype(x.dtype))
+
         def body(_, x):
             return spmv(op, x) * jnp.asarray(0.125, x.dtype)
 
         return jax.lax.fori_loop(0, n_iters, body, x, unroll=1)
 
-    # Two chain lengths, both long enough that execution dominates the (noisy,
-    # ~ms) per-dispatch overhead; the difference cancels the fixed cost.
-    # Inputs are perturbed per repetition: repeated IDENTICAL dispatches can
-    # be served from a response memo by the device relay, which collapses the
-    # differential to zero.
-    def run_fetch(n):
+    def run_fetch(n, k):
         # fetch a value from the result: on the remote-device tunnel,
         # block_until_ready can return at queue-ack before execution —
         # only a device→host value read reliably observes completion
-        out = chain(op, x, jnp.int32(n))
+        out = chain(op, x, jnp.int32(n), jnp.float32(k) * jnp.float32(2**-16))
         leaf = jax.tree.leaves(out)[0]
         float(leaf.ravel()[0])
 
-    run_fetch(iters)  # compile+warm
+    run_fetch(iters, 0)  # compile+warm
     ts = []
-    for _ in range(max(warmup, 2)):
+    for k in range(max(warmup, 2)):
         t0 = time.perf_counter()
-        run_fetch(iters)
+        run_fetch(iters, k + 1)  # distinct input values per repetition
         ts.append(time.perf_counter() - t0)
     total = min(ts)
     return max((total - measure_rtt()) / iters, 1e-9)
+
+
+def solve_report(name, info, tol, t_iter):
+    """One honest solve line: the actual SolveInfo status, never
+    '{N} iters to tol' on a run that exited above tolerance."""
+    from sprsolve_tpu.errors import Status
+
+    it = int(info.iterations)
+    res = float(info.residual)
+    st = Status(int(info.status)).name
+    if st == "CONVERGED":
+        head = f"CONVERGED in {it} iters to {tol:g}"
+    else:
+        head = f"{st} after {it} iters (res above {tol:g})"
+    log(
+        f"{name}: {head} (res {res:.2e}), {t_iter*1e6:.0f} us/iter "
+        f"({1/t_iter:.0f} iters/s) -> {it*t_iter*1e3:.1f} ms compute"
+    )
+    return st == "CONVERGED"
 
 
 def main():
@@ -243,16 +263,79 @@ def main():
     for name, build in solve_cfgs:
         try:
             x_c, info_c = build(400, 1e-4)()
-            it_c = int(info_c.iterations)
-            res_c = float(info_c.residual)
             t_iter = time_solve_periter(lambda mi: build(mi, 0.0))
-            log(
-                f"{name} 1M rows: {it_c} iters to 1e-4 "
-                f"(res {res_c:.2e}), {t_iter*1e6:.0f} us/iter "
-                f"({1/t_iter:.0f} iters/s) -> {it_c*t_iter*1e3:.1f} ms compute"
-            )
+            solve_report(f"{name} 1M rows", info_c, 1e-4, t_iter)
         except Exception as e:
             log(f"{name} unavailable: {type(e).__name__}: {e}")
+
+    # --- BASELINE config #4, literal: BiCGStab + Gauss-Seidel preconditioner
+    # on the ~1M-row 3-D Poisson (reference workload definition
+    # benches/bicgstab.rs:14-37 scaled per BASELINE.md config #4). The GS
+    # preconditioner is the 2-color masked sweep running through the Pallas
+    # DIA kernel; also a Jacobi-vs-GS-vs-MG crossover at a tight tolerance.
+    M_gs = None
+    try:
+        colors = sp.greedy_color(A)
+        masks_p = tuple(pdia_s.pad_vec(m) for m in sp.color_masks(colors))
+        M_gs = sp.MaskedGSPrecond(
+            A=pdia_s, diag=pdia_s.diagonal_padded(), masks=masks_p, sweeps=1
+        )
+
+        def build_gs(mi, tol):
+            return jax.jit(
+                lambda: sp.bicgstab(pdia_s, b2s, M=M_gs, tol=tol, max_iter=mi)
+            )
+
+        _, info_gs = build_gs(400, 1e-4)()
+        t_gs = time_solve_periter(lambda mi: build_gs(mi, 0.0), iters_forced=500)
+        solve_report(
+            "bicgstab + 2-color GS precond (config #4, pallas) 1M rows",
+            info_gs, 1e-4, t_gs,
+        )
+    except Exception as e:
+        log(f"config-#4 GS bench unavailable: {type(e).__name__}: {e}")
+
+    # Jacobi vs GS vs multigrid at a tight-for-f32 tolerance: the crossover
+    # where stronger preconditioners overtake the cheap fused Jacobi path.
+    try:
+        from sprsolve_tpu import GridMGPrecond
+
+        t0 = time.perf_counter()
+        M_mg = GridMGPrecond.from_csr(A, (n_side, n_side, n_side))
+        log(f"multigrid hierarchy built in {time.perf_counter()-t0:.1f}s")
+        tight = 1e-6
+        cross_cfgs = [
+            ("jacobi", pdia_s, b2s, M_pal, 1500),
+            ("gs-2color", pdia_s, b2s, M_gs, 800),
+        ]
+        for cname, op_, rhs_, M_, forced in cross_cfgs:
+            if M_ is None:
+                continue
+
+            def build_x(mi, tol, op_=op_, rhs_=rhs_, M_=M_):
+                return jax.jit(
+                    lambda: sp.bicgstab(op_, rhs_, M=M_, tol=tol, max_iter=mi)
+                )
+
+            _, info_x = build_x(1500, tight)()
+            t_x = time_solve_periter(
+                lambda mi: build_x(mi, 0.0), iters_forced=forced
+            )
+            solve_report(f"crossover bicgstab+{cname} 1M tol {tight:g}",
+                         info_x, tight, t_x)
+
+        # MG runs on the flat XLA-DIA operator (hierarchy levels are flat)
+        def build_mg(mi, tol):
+            return jax.jit(
+                lambda: sp.bicgstab(dia, rhs, M=M_mg, tol=tol, max_iter=mi)
+            )
+
+        _, info_mg = build_mg(200, tight)()
+        t_mg = time_solve_periter(lambda mi: build_mg(mi, 0.0), iters_forced=60)
+        solve_report(f"crossover bicgstab+multigrid 1M tol {tight:g}",
+                     info_mg, tight, t_mg)
+    except Exception as e:
+        log(f"crossover bench unavailable: {type(e).__name__}: {e}")
 
     # --- complex SpMV via the fused two-plane kernel (c64 path)
     try:
@@ -323,15 +406,48 @@ def main():
             )
 
         _, _, info_cs = build_cs(400, 1e-4)()
-        it_cs = int(info_cs.iterations)
         t_cs = time_solve_periter(lambda mi: build_cs(mi, 0.0), iters_forced=500)
-        log(
-            f"cs_minres c64 1M rows (two-plane kernel): {it_cs} iters to 1e-4 "
-            f"(res {float(info_cs.residual):.2e}), {t_cs*1e6:.0f} us/iter "
-            f"({1/t_cs:.0f} iters/s) -> {it_cs*t_cs*1e3:.1f} ms compute"
-        )
+        solve_report("cs_minres c64 1M rows (two-plane kernel, unprecond)",
+                     info_cs, 1e-4, t_cs)
     except Exception as e:
         log(f"cs_minres 1M bench unavailable: {type(e).__name__}: {e}")
+
+    # --- converging complex solve at 1M rows: damped complex-symmetric
+    # Poisson (A + 0.5i·I — Helmholtz-with-damping class, genuinely coupled
+    # re/im planes), preconditioned planes-BiCGStab with complex Jacobi.
+    # The reference's complex story is tests-only (tests/test_complex_solve2.rs);
+    # this demonstrates a CONVERGED status at 1M scale on chip.
+    try:
+        from sprsolve_tpu.ops.pallas_spmv import ComplexPaddedDIA
+        from sprsolve_tpu.solvers import with_real_planes
+        from sprsolve_tpu.sparse.containers import DIA as _DIA
+
+        damp_bands = np.asarray(dia.bands).astype(np.complex64)
+        ctr = dia.offsets.index(0)
+        damp_bands[ctr] = damp_bands[ctr] + 0.5j
+        cd_op = ComplexPaddedDIA.from_dia(
+            _DIA(bands=damp_bands, offsets=dia.offsets, shape=dia.shape)
+        )
+        bdr = jax.block_until_ready(cd_op.re.pad_vec(rhs))
+        bdi = jax.block_until_ready(cd_op.re.pad_vec(rhs * jnp.float32(0.25)))
+        M_cj = cd_op.jacobi_precond()
+
+        def build_cbicg(mi, tol):
+            return jax.jit(
+                lambda: with_real_planes(sp.bicgstab)(
+                    cd_op, bdr, bdi, M=M_cj, tol=tol, max_iter=mi
+                )
+            )
+
+        _, _, info_cb = build_cbicg(400, 1e-4)()
+        t_cb = time_solve_periter(lambda mi: build_cbicg(mi, 0.0),
+                                  iters_forced=400)
+        solve_report(
+            "bicgstab c64 1M rows (damped complex-symmetric, complex Jacobi)",
+            info_cb, 1e-4, t_cb,
+        )
+    except Exception as e:
+        log(f"complex bicgstab 1M bench unavailable: {type(e).__name__}: {e}")
 
     # --- general sparsity: block-random pattern routed by optimize() → BSR.
     # The MKL-backend role for non-banded matrices (src/mkl_mat.rs:170-239):
@@ -371,6 +487,34 @@ def main():
         log(
             f"spmv general (block-random 65k, optimize→BSR): {t_bsr*1e3:.3f} ms "
             f"-> {Ag.nnz/t_bsr/1e9:.2f} Gnnz/s"
+        )
+
+        # unstructured COMPLEX through optimize() → two-plane ComplexBSR
+        # (the c/z arbitrary-CSR role of the reference MKL backend,
+        # src/mkl_mat.rs:32-74; VERDICT r2 target ≥20 Gcnnz/s). Planes
+        # boundary: complex device buffers are rejected by this backend,
+        # so the chain runs on (re, im) f32 planes inside one jit.
+        from sprsolve_tpu.sparse.bsr import ComplexBSR
+
+        cvals = (valsG + 0.5j * rgen.standard_normal(len(valsG))).astype(
+            np.complex64
+        )
+        Agc = CSR.from_arrays(
+            cvals[orderG], colsG[orderG].astype(np.int32), indptrG, (nG, nG)
+        )
+        op_gc = sp.optimize(Agc)
+        cb = _bsr_of(op_gc)
+        assert isinstance(cb, ComplexBSR), type(op_gc)
+        xgr = jnp.asarray(rgen.standard_normal(nG).astype(np.float32))
+        xgi = jnp.asarray(rgen.standard_normal(nG).astype(np.float32))
+
+        t_cbsr = time_spmv(
+            lambda o, v: jnp.stack(o._planes_matvec(v[0], v[1])),
+            cb, jnp.stack([xgr, xgi]), iters=100,
+        )
+        log(
+            f"spmv general c64 (block-random 65k, optimize→ComplexBSR): "
+            f"{t_cbsr*1e3:.3f} ms -> {Agc.nnz/t_cbsr/1e9:.2f} Gcnnz/s"
         )
     except Exception as e:
         log(f"general-sparsity bench unavailable: {type(e).__name__}: {e}")
@@ -430,48 +574,65 @@ def main():
         return jax.jit(lambda: sp.bicgstab(dia2d, rhs2d_j, tol=tol, max_iter=mi))
 
     x2d, i2d = build2d(1500, 1e-7)()
-    it2d = int(i2d.iterations)
     t2d_iter = time_solve_periter(lambda mi: build2d(mi, 0.0), iters_forced=30000)
-    log(
-        f"bicgstab 100x100 grid (reference workload): {it2d} iters to 1e-7 "
-        f"(res {float(i2d.residual):.2e}), {t2d_iter*1e6:.1f} us/iter -> "
-        f"{it2d*t2d_iter*1e3:.2f} ms compute"
-    )
+    solve_report("bicgstab 100x100 grid (reference workload)", i2d, 1e-7,
+                 t2d_iter)
 
-    # --- roofline accounting for the best SpMV path
-    def bytes_for(name):
+    # --- roofline accounting for the best SpMV path.  TWO byte models:
+    #   nominal  — every stream at its logical f32 width (5.19 B/nnz for the
+    #              7-point DIA); the BASELINE "≥70% of roofline" target and
+    #              vs_baseline are defined against this model, so the JSON
+    #              line stays comparable across rounds.
+    #   achieved — the bytes the kernel ACTUALLY moves: PaddedDIA stores
+    #              bands at the narrowest lossless dtype (int8/bf16, widened
+    #              in VMEM), so real band traffic can be 4× below nominal.
+    #              The MFU (fraction of memory speed) must use this model —
+    #              a ">100% of nominal roofline" headline is not a roofline
+    #              violation, it is narrower traffic.
+    band_itemsize = 4
+    try:
+        band_itemsize = int(np.dtype(pdia.bands3.dtype).itemsize)
+    except Exception:
+        pass  # pallas path unavailable; nominal == achieved
+
+    def bytes_for(name, model="nominal"):
         if name.startswith("dia"):
-            # algorithmic bytes: bands + x + y (each element read/written once)
-            return (dia.bands.shape[0] * n + 2 * n) * 4
+            bs = band_itemsize if (model == "achieved" and name == "dia_pallas") else 4
+            # bands at their stored width + x + y (each touched once, f32)
+            return dia.bands.shape[0] * n * bs + 2 * n * 4
         # ELL: data + cols(int32) + x + y
         return (ell.k * n * 2 + 2 * n) * 4
 
-    # sanity: discard measurements implying > 2 TB/s effective bandwidth
-    # (dispatch-noise artifacts of the differential timing)
+    # sanity: discard measurements implying > 2 TB/s effective bandwidth on
+    # the bytes ACTUALLY moved (dispatch-noise artifacts of chained timing)
     plausible = {
-        k: v for k, v in results.items() if bytes_for(k) / v <= 2.0e12
+        k: v for k, v in results.items()
+        if bytes_for(k, "achieved") / v <= 2.0e12
     }
     for k in results:
         if k not in plausible:
             log(f"discarding implausible measurement {k}: {results[k]*1e3:.4f} ms")
     if not plausible:
-        # every differential reading was noise-degenerate: clamp each to the
-        # 2 TB/s floor so a sane (conservative) JSON line still comes out
+        # every reading was noise-degenerate: clamp each to the 2 TB/s floor
+        # so a sane (conservative) JSON line still comes out
         plausible = {
-            k: max(v, bytes_for(k) / 2.0e12) for k, v in results.items()
+            k: max(v, bytes_for(k, "achieved") / 2.0e12)
+            for k, v in results.items()
         }
         log("all readings degenerate; clamped to the 2 TB/s floor")
     best_name = min(plausible, key=plausible.get)
     t_best = plausible[best_name]
-    bytes_alg = bytes_for(best_name)
-    bytes_per_nnz = bytes_alg / nnz
-    roofline_nnz_s = HBM_GBPS * 1e9 / bytes_per_nnz
+    bpn_nom = bytes_for(best_name, "nominal") / nnz
+    bpn_ach = bytes_for(best_name, "achieved") / nnz
+    roofline_nom = HBM_GBPS * 1e9 / bpn_nom
+    roofline_ach = HBM_GBPS * 1e9 / bpn_ach
     achieved_nnz_s = nnz / t_best
     log(
-        f"best={best_name}: {achieved_nnz_s/1e9:.2f} Gnnz/s, "
-        f"roofline {roofline_nnz_s/1e9:.2f} Gnnz/s "
-        f"({100*achieved_nnz_s/roofline_nnz_s:.0f}% of roofline, "
-        f"{bytes_per_nnz:.2f} B/nnz)"
+        f"best={best_name}: {achieved_nnz_s/1e9:.2f} Gnnz/s | "
+        f"nominal-f32 roofline {roofline_nom/1e9:.2f} Gnnz/s at "
+        f"{bpn_nom:.2f} B/nnz ({100*achieved_nnz_s/roofline_nom:.0f}%) | "
+        f"achieved-traffic roofline {roofline_ach/1e9:.2f} Gnnz/s at "
+        f"{bpn_ach:.2f} B/nnz (MFU {100*achieved_nnz_s/roofline_ach:.0f}%)"
     )
 
     print(
@@ -480,7 +641,9 @@ def main():
                 "metric": f"spmv_poisson3d_1M_f32_{best_name}",
                 "value": round(achieved_nnz_s / 1e9, 3),
                 "unit": "Gnnz/s",
-                "vs_baseline": round(achieved_nnz_s / (0.70 * roofline_nnz_s), 3),
+                # vs the BASELINE target: 70% of the NOMINAL-f32 roofline
+                # (the achieved-traffic MFU is the log line above)
+                "vs_baseline": round(achieved_nnz_s / (0.70 * roofline_nom), 3),
             }
         )
     )

@@ -54,7 +54,7 @@ from .solvers import (
     refine_solve,
     with_real_planes,
 )
-from .sparse import BSR, COO, CSC, CSR, DIA, ELL, csr_from_bcoo, csr_from_dense, csr_from_scipy, reorder_rcm
+from .sparse import BSR, ComplexBSR, COO, CSC, CSR, DIA, ELL, csr_from_bcoo, csr_from_dense, csr_from_scipy, reorder_rcm
 
 __version__ = "0.1.0"
 
@@ -89,6 +89,7 @@ __all__ = [
     "color_masks",
     "greedy_color",
     "BSR",
+    "ComplexBSR",
     "COO",
     "CSC",
     "CSR",

@@ -13,9 +13,11 @@ TPU throughput on v5e:
 2. otherwise RCM-reorder and recount: banded-after-RCM matrices run the same
    DIA paths wrapped in :class:`~sprsolve_tpu.ops.reordered.Reordered`
    (permutations only at the solve boundary).
-3. otherwise compare the byte-traffic cost models of wide DIA (XLA shifted
-   slices) and BSR (dense-block MXU batches) — on both the original and the
-   RCM pattern — and take the cheapest that fits the memory budget.
+3. otherwise compare wide DIA (XLA shifted slices) and BSR (dense-block MXU
+   batches; :class:`ComplexBSR` two-plane form for complex data) — on both
+   the original and the RCM pattern — ranked by predicted *time*
+   (bytes/nnz ÷ measured per-path bandwidth efficiency), taking the fastest
+   that fits the memory budget.
 4. ELL (scalar-gather, ~0.12 Gnnz/s measured: three orders of magnitude under
    roofline) only as a last resort, with a RuntimeWarning.
 """
@@ -28,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..native import csr_count_diagonals
-from ..sparse.bsr import BSR
+from ..sparse.bsr import BSR, ComplexBSR
 from ..sparse.containers import CSR, DIA, ELL, reorder_rcm
 from .pallas_spmv import ComplexPaddedDIA, PaddedDIA
 from .reordered import Reordered
@@ -36,6 +38,15 @@ from .reordered import Reordered
 # block sizes tried by the BSR cost model; 128 matches the MXU tile, smaller
 # sizes trade MXU efficiency for less zero-fill on scattered patterns
 _BSR_SIZES = (128, 64, 32, 16, 8)
+
+# Measured bandwidth-efficiency constants per execution path (fraction of
+# the HBM roofline each path achieves on v5e — BENCH_NOTES.md "SpMV" table).
+# The cost model ranks candidates by bytes_per_nnz / efficiency, i.e. by
+# predicted TIME: a byte-cheaper wide XLA-DIA (≈19% of roofline) can lose to
+# a byte-heavier BSR (≈90%) by several ×, and pure-byte ranking picked the
+# slower path on banded patterns (see tests/test_optimize.py).
+_EFF_XLA_DIA = 0.19
+_EFF_BSR = 0.90
 
 
 def _dia_operator(m: CSR, max_diags: int, prefer_pallas: bool):
@@ -110,30 +121,35 @@ def optimize(
         if nd_perm <= max_diags and nd_perm * n * itemsize <= mem_limit_bytes:
             return Reordered.wrap(_dia_operator(mp, max_diags, prefer_pallas), perm)
 
-    # cost-model comparison: wide XLA-DIA vs BSR, original vs RCM pattern
-    candidates = []  # (bytes_per_nnz, builder)
+    # cost-model comparison: wide XLA-DIA vs BSR, original vs RCM pattern.
+    # Candidates are ranked by PREDICTED TIME — bytes_per_nnz divided by the
+    # measured per-path bandwidth efficiency — not by raw bytes.
+    is_complex = bool(jnp.iscomplexobj(m.data))
+    candidates = []  # (bytes_per_nnz / efficiency, builder)
     for cand_m, cand_perm, nd in ((m, None, n_diags), (mp, perm, nd_perm)):
         if cand_m is None:
             continue
         if nd <= wide_diags and nd * n * itemsize <= mem_limit_bytes:
             bpn = (nd + 2) * n * itemsize / nnz
             candidates.append(
-                (bpn, lambda cm=cand_m, cp=cand_perm, nd=nd: _wrap(
+                (bpn / _EFF_XLA_DIA, lambda cm=cand_m, cp=cand_perm, nd=nd: _wrap(
                     DIA.from_csr(cm, max_diags=nd), cp
                 ))
             )
-        if allow_bsr and not jnp.iscomplexobj(m.data):
+        if allow_bsr:
             bpn, bs = _bsr_cost(cand_m, itemsize, mem_limit_bytes)
             if bs:
+                blk_cls = ComplexBSR if is_complex else BSR
                 candidates.append(
-                    (bpn, lambda cm=cand_m, cp=cand_perm, bs=bs: _wrap(
-                        BSR.from_csr(cm, bs=bs), cp
-                    ))
+                    (bpn / _EFF_BSR,
+                     lambda cm=cand_m, cp=cand_perm, bs=bs, cls=blk_cls: _wrap(
+                         cls.from_csr(cm, bs=bs), cp
+                     ))
                 )
     # an ELL-routed matrix runs ~1000x under roofline; only beyond ~50x the
     # banded traffic does the scalar-gather path stop being strictly worse
     if candidates:
-        bpn, build = min(candidates, key=lambda c: c[0])
+        score, build = min(candidates, key=lambda c: c[0])
         return build()
 
     warnings.warn(

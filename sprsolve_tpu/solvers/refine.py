@@ -443,18 +443,7 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
         A64 = _PlanesDIA(re=re64_csr.to_dia(), im=im64_csr.to_dia())
     except ValueError:  # > 64 diagonals: residual planes via the CSR path
         A64 = _PlanesDIA(re=re64_csr, im=im64_csr)
-    try:
-        A32 = ComplexPaddedDIA.from_csr(
-            CSR.from_arrays(data.astype(np.complex64), A.indices, A.indptr,
-                            A.shape)
-        )
-    except ValueError:  # non-banded: inner solves on real-leaved CSR planes
-        A32 = _PlanesComplexOp(
-            re=CSR.from_arrays(data.real.astype(np.float32), A.indices,
-                               A.indptr, A.shape),
-            im=CSR.from_arrays(data.imag.astype(np.float32), A.indices,
-                               A.indptr, A.shape),
-        )
+    A32 = _complex_inner_operator(A, data)
     if isinstance(M, str):
         if M != "jacobi":
             raise IncompatibleMatrixFormat(
@@ -480,6 +469,44 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
         ))
         xr, xi, info = run(*args)
     return np.asarray(xr) + 1j * np.asarray(xi), info
+
+
+def _complex_inner_operator(A, data):
+    """Pick the c64 execution-layout operator for complex refinement.
+
+    Banded → :class:`ComplexPaddedDIA` (fused two-plane kernel).  Otherwise
+    the two-plane :class:`~sprsolve_tpu.sparse.bsr.ComplexBSR` (or an
+    RCM-banded layout) via ``optimize()`` — the c/z arbitrary-CSR role of
+    the reference's MKL backend (``src/mkl_mat.rs:32-74``).  Gather-speed
+    CSR planes remain only as the last resort when no block structure fits
+    the memory budget.
+    """
+    import numpy as np
+
+    from ..ops.pallas_spmv import ComplexPaddedDIA
+    from ..sparse.containers import CSR, ELL as _ELL
+
+    c64 = CSR.from_arrays(
+        data.astype(np.complex64), A.indices, A.indptr, A.shape
+    )
+    try:
+        return ComplexPaddedDIA.from_csr(c64)
+    except ValueError:
+        pass
+    from ..ops.optimize import optimize as _optimize
+
+    # wide_diags=0: a wide XLA-DIA candidate would carry complex leaves
+    # across the jit boundary, which some backends (axon) reject — the
+    # RCM→ComplexPaddedDIA and ComplexBSR candidates are plane-stored
+    A32 = _optimize(c64, wide_diags=0)
+    if isinstance(A32, _ELL) or isinstance(getattr(A32, "inner", None), _ELL):
+        A32 = _PlanesComplexOp(
+            re=CSR.from_arrays(data.real.astype(np.float32), A.indices,
+                               A.indptr, A.shape),
+            im=CSR.from_arrays(data.imag.astype(np.float32), A.indices,
+                               A.indptr, A.shape),
+        )
+    return A32
 
 
 class _PlanesComplexOp(NamedTuple):

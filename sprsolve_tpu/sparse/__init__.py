@@ -14,7 +14,7 @@ All containers are registered pytrees, so they pass through ``jax.jit``,
 ``lax.while_loop`` carries and ``shard_map`` untouched.
 """
 
-from .bsr import BSR
+from .bsr import BSR, ComplexBSR
 from .containers import COO, CSC, CSR, ELL, DIA, csr_from_bcoo, csr_from_scipy, csr_from_dense, reorder_rcm
 
-__all__ = ["BSR", "COO", "CSC", "CSR", "ELL", "DIA", "csr_from_bcoo", "csr_from_scipy", "csr_from_dense", "reorder_rcm"]
+__all__ = ["BSR", "ComplexBSR", "COO", "CSC", "CSR", "ELL", "DIA", "csr_from_bcoo", "csr_from_scipy", "csr_from_dense", "reorder_rcm"]

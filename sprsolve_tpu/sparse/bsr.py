@@ -169,3 +169,170 @@ class BSR:
 jax.tree_util.register_dataclass(
     BSR, data_fields=("blocks", "blk_row", "blk_col"), meta_fields=("padded_dim", "n")
 )
+
+
+@dataclasses.dataclass(frozen=True)
+class ComplexBSR:
+    """Two-plane BSR: the MXU fast path for *unstructured complex* matrices.
+
+    The reference's MKL backend runs arbitrary complex CSR at memory speed
+    (``src/mkl_mat.rs:32-74,170-319``, the c/z creation and mv macros); this
+    is the TPU counterpart.  A complex SpMV over a block pattern decomposes
+    into four real block-batch products on the shared union pattern:
+    y_re = A_re·x_re − A_im·x_im, y_im = A_re·x_im + A_im·x_re — executed as
+    TWO batched einsums (each with the (x_re, x_im) planes stacked as a
+    k=2 rhs) plus one plane-stacked row segment-sum.
+
+    Storage is real re/im block planes (pytree leaves are real arrays, so
+    the operator crosses jit boundaries on backends that reject complex
+    device buffers — the same planes discipline as
+    :class:`~sprsolve_tpu.ops.pallas_spmv.ComplexPaddedDIA`); the complex
+    view exists only inside compiled programs.
+    """
+
+    blocks_re: jax.Array   # (nblk, bs, bs) real plane
+    blocks_im: jax.Array   # (nblk, bs, bs) real plane (union pattern)
+    blk_row: jax.Array     # (nblk,) int32, sorted
+    blk_col: jax.Array     # (nblk,) int32
+    padded_dim: int
+    n: int
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(
+            jnp.result_type(self.blocks_re.dtype, jnp.complex64)
+        )
+
+    @property
+    def bs(self) -> int:
+        return self.blocks_re.shape[1]
+
+    @property
+    def nblk(self) -> int:
+        return self.blocks_re.shape[0]
+
+    @staticmethod
+    def from_csr(m: CSR, bs: int = 128) -> "ComplexBSR":
+        n = m.shape[0]
+        nb = -(-n // bs)
+        rows = np.asarray(m.row_ids, dtype=np.int64)
+        cols = np.asarray(m.indices, dtype=np.int64)
+        dat = np.asarray(m.data)
+        rdt = dat.real.dtype
+        br, bc = rows // bs, cols // bs
+        key = br * nb + bc
+        uniq, inv = np.unique(key, return_inverse=True)
+        blocks_re = np.zeros((len(uniq), bs, bs), dtype=rdt)
+        blocks_im = np.zeros((len(uniq), bs, bs), dtype=rdt)
+        blocks_re[inv, rows % bs, cols % bs] = dat.real
+        blocks_im[inv, rows % bs, cols % bs] = dat.imag
+        return ComplexBSR(
+            blocks_re=jnp.asarray(blocks_re),
+            blocks_im=jnp.asarray(blocks_im),
+            blk_row=jnp.asarray((uniq // nb).astype(np.int32)),
+            blk_col=jnp.asarray((uniq % nb).astype(np.int32)),
+            padded_dim=nb * bs,
+            n=n,
+        )
+
+    def _planes_matvec(self, xr: jax.Array, xi: jax.Array):
+        """Core two-plane apply on real (n,) planes → real (n,) planes."""
+        bs = self.bs
+        nb = self.padded_dim // bs
+        prec = jax.lax.Precision.HIGHEST
+
+        def blockify(v):
+            vp = jnp.zeros(self.padded_dim, v.dtype).at[: self.n].set(v)
+            return vp.reshape(nb, bs)
+
+        # one gather of the stacked planes: (nblk, bs, 2)
+        g = jnp.take(
+            jnp.stack([blockify(xr), blockify(xi)], axis=-1),
+            self.blk_col, axis=0,
+        )
+        out_t = jnp.result_type(self.blocks_re.dtype, xr.dtype)
+        pr = jnp.einsum("bij,bjk->bik", self.blocks_re, g,
+                        preferred_element_type=out_t, precision=prec)
+        pi = jnp.einsum("bij,bjk->bik", self.blocks_im, g,
+                        preferred_element_type=out_t, precision=prec)
+        # combine planes BEFORE the segment-sum (linear; halves segment work)
+        stacked = jnp.stack(
+            [pr[..., 0] - pi[..., 1], pr[..., 1] + pi[..., 0]], axis=-1
+        )
+        Y = jax.ops.segment_sum(
+            stacked, self.blk_row, num_segments=nb, indices_are_sorted=True
+        )
+        yr = Y[..., 0].reshape(-1)[: self.n]
+        yi = Y[..., 1].reshape(-1)[: self.n]
+        return yr, yi
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        yr, yi = self._planes_matvec(jnp.real(x), jnp.imag(x))
+        return (yr + 1j * yi).astype(jnp.result_type(x.dtype, self.dtype))
+
+    def matvec_dot(self, x: jax.Array):
+        from ..vecalg import conj_dot
+
+        y = self.matvec(x)
+        return y, conj_dot(x, y)
+
+    def matmat(self, X: jax.Array) -> jax.Array:
+        bs = self.bs
+        nb = self.padded_dim // bs
+        k = X.shape[1]
+        prec = jax.lax.Precision.HIGHEST
+        Xr, Xi = jnp.real(X), jnp.imag(X)
+
+        def blockify(V):
+            Vp = jnp.zeros((self.padded_dim, k), V.dtype).at[: self.n].set(V)
+            return Vp.reshape(nb, bs, k)
+
+        g = jnp.concatenate(
+            [jnp.take(blockify(Xr), self.blk_col, axis=0),
+             jnp.take(blockify(Xi), self.blk_col, axis=0)], axis=-1
+        )  # (nblk, bs, 2k): [re | im]
+        out_t = jnp.result_type(self.blocks_re.dtype, Xr.dtype)
+        pr = jnp.einsum("bij,bjk->bik", self.blocks_re, g,
+                        preferred_element_type=out_t, precision=prec)
+        pi = jnp.einsum("bij,bjk->bik", self.blocks_im, g,
+                        preferred_element_type=out_t, precision=prec)
+        stacked = jnp.concatenate(
+            [pr[..., :k] - pi[..., k:], pr[..., k:] + pi[..., :k]], axis=-1
+        )
+        Y = jax.ops.segment_sum(
+            stacked, self.blk_row, num_segments=nb, indices_are_sorted=True
+        )
+        Yr = Y[..., :k].reshape(-1, k)[: self.n]
+        Yi = Y[..., k:].reshape(-1, k)[: self.n]
+        return (Yr + 1j * Yi).astype(jnp.result_type(X.dtype, self.dtype))
+
+    def diagonal(self) -> jax.Array:
+        """Complex diagonal (host-side build, like :meth:`BSR.diagonal`)."""
+        bs = self.bs
+        on_diag = np.asarray(self.blk_row) == np.asarray(self.blk_col)
+        bre = np.asarray(self.blocks_re)[on_diag]
+        bim = np.asarray(self.blocks_im)[on_diag]
+        brows = np.asarray(self.blk_row)[on_diag]
+        diag = np.zeros(self.padded_dim, dtype=np.result_type(bre.dtype, np.complex64))
+        for r_, i_, br_ in zip(bre, bim, brows):
+            diag[br_ * bs : (br_ + 1) * bs] = np.diag(r_) + 1j * np.diag(i_)
+        return diag[: self.n]
+
+    def jacobi_precond(self):
+        """Complex Jacobi preconditioner as re/im planes (zero diag → inert 1)."""
+        from ..precond import ComplexDiagPrecond
+
+        d = self.diagonal()  # host numpy
+        d = np.where(d == 0, np.ones((), d.dtype), d)
+        return ComplexDiagPrecond.new(d)
+
+
+jax.tree_util.register_dataclass(
+    ComplexBSR,
+    data_fields=("blocks_re", "blocks_im", "blk_row", "blk_col"),
+    meta_fields=("padded_dim", "n"),
+)
