@@ -156,7 +156,7 @@ def _dia_dot_kernel(bands_ref, x_ref, y_ref, dot_ref, *, offsets, hr, lanes):
     dot_ref[pl.program_id(0), 0] = jnp.sum(x_ref[hr : hr + br, :] * acc)
 
 
-def _dia_wdot_kernel(*refs, offsets, hr, lanes, has_dinv=False):
+def _dia_wdot_kernel(*refs, offsets, hr, lanes, has_dinv=False, w_is_x=False):
     """SpMV block + per-block partials of wᵀ·(A·x) *and* (A·x)ᵀ·(A·x).
 
     BiCGStab's two reduction barriers are dots against a vector *other than*
@@ -166,13 +166,17 @@ def _dia_wdot_kernel(*refs, offsets, hr, lanes, has_dinv=False):
     read (~1 stream) replaces a separate two-stream reduction pass per SpMV.
     With ``has_dinv`` a Jacobi reciprocal window multiplies the x window in
     VMEM first (y = A·(dinv ⊙ x)) — BiCGStab's y/z intermediates never
-    round-trip HBM. Real dtypes only (complex composes unfused)."""
-    if has_dinv:
-        bands_ref, x_ref, dinv_ref, w_ref, y_ref, part_ref = refs
-        xw = x_ref[:, :] * dinv_ref[:, :]
-    else:
-        bands_ref, x_ref, w_ref, y_ref, part_ref = refs
-        xw = x_ref[:, :]
+    round-trip HBM. With ``w_is_x`` (BiCGStab's second half has w = s = the
+    SpMV input) the w operand is dropped and the dot reads the already-staged
+    raw x window — one whole HBM stream saved, bitwise-identical partials.
+    Real dtypes only (complex composes unfused)."""
+    refs = list(refs)
+    bands_ref = refs.pop(0)
+    x_ref = refs.pop(0)
+    dinv_ref = refs.pop(0) if has_dinv else None
+    w_ref = x_ref if w_is_x else refs.pop(0)
+    y_ref, part_ref = refs
+    xw = x_ref[:, :] * dinv_ref[:, :] if has_dinv else x_ref[:, :]
     br = y_ref.shape[0]
     acc = _band_accumulate(
         bands_ref, xw, offsets=offsets, hr=hr, lanes=lanes,
@@ -185,12 +189,14 @@ def _dia_wdot_kernel(*refs, offsets, hr, lanes, has_dinv=False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows")
+    jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows", "w_is_x")
 )
 def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows,
-                          *dinv2):
+                          *dinv2, w_is_x=False):
     """One wrapper for both the plain and Jacobi-folded w-dot forms: pass
-    the reciprocal window as a trailing positional to enable the fold."""
+    the reciprocal window as a trailing positional to enable the fold.
+    ``w_is_x=True`` (static) drops the w operand entirely — the dot reads
+    the staged x window — saving one full HBM stream per call."""
     has_dinv = bool(dinv2)
     d, r_pad, _ = bands3.shape
     grid = (r_pad // block_rows,)
@@ -206,13 +212,17 @@ def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows,
         ),
         win,
     ]
+    operands = [bands3, x2]
     if has_dinv:
         in_specs.append(win)
-    in_specs.append(win)
+        operands.extend(dinv2)
+    if not w_is_x:
+        in_specs.append(win)
+        operands.append(w2)
     y, partials = _pallas_call(
         functools.partial(
             _dia_wdot_kernel, offsets=offsets, hr=hr, lanes=lanes,
-            has_dinv=has_dinv,
+            has_dinv=has_dinv, w_is_x=w_is_x,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -226,7 +236,7 @@ def _dia_wdot_pallas_call(bands3, x2, w2, offsets, hr, lanes, block_rows,
             jax.ShapeDtypeStruct((r_pad, lanes), x2.dtype),
             jax.ShapeDtypeStruct((grid[0], 2), x2.dtype),
         ),
-    )(bands3, x2, *dinv2, w2)
+    )(*operands)
     sums = jnp.sum(partials, axis=0)
     return y, sums[0], sums[1]
 
@@ -565,7 +575,7 @@ class PaddedDIA:
             return y, conj_dot(w2, y), conj_dot(y, y)
         y_body, wd, yd = _dia_wdot_pallas_call(
             self.bands3, x2, w2, self.offsets, self.hr, self.lanes,
-            self.block_rows,
+            self.block_rows, w_is_x=w2 is x2,
         )
         halo = jnp.zeros((self.hr, self.lanes), dtype=x2.dtype)
         y = jnp.concatenate([halo, y_body, halo], axis=0)
@@ -587,7 +597,7 @@ class PaddedDIA:
             return y, conj_dot(w2, y), conj_dot(y, y)
         y_body, wd, yd = _dia_wdot_pallas_call(
             self.bands3, x2, w2, self.offsets, self.hr, self.lanes,
-            self.block_rows, dinv2,
+            self.block_rows, dinv2, w_is_x=w2 is x2,
         )
         halo = jnp.zeros((self.hr, self.lanes), dtype=x2.dtype)
         y = jnp.concatenate([halo, y_body, halo], axis=0)

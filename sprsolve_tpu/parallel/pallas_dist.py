@@ -167,6 +167,20 @@ class DistPaddedDIA:
         reduction barriers). w needs no halo exchange — the dots only read
         body rows — so it enters the kernel with zero halo rows; the solver
         psums the partials over the row axis via ``mv_wdot``'s axis_name."""
+        # w = x dedup (BiCGStab's second half passes w = s = the SpMV
+        # input): the dot reads the staged x window's body rows — which ARE
+        # w, halo exchange or not — skipping the whole w stream.
+        if w_body is body:
+            return _dia_wdot_pallas_call(
+                self.bands3,
+                self._exchange_halo(body),
+                body,
+                self.offsets,
+                self.hr,
+                self.lanes,
+                self.block_rows,
+                w_is_x=True,
+            )
         if self.hr:
             zh = jnp.zeros((self.hr, self.lanes), w_body.dtype)
             w_ext = jnp.concatenate([zh, w_body, zh], axis=0)

