@@ -446,6 +446,31 @@ def main():
             "bicgstab c64 1M rows (damped complex-symmetric, complex Jacobi)",
             info_cb, 1e-4, t_cb,
         )
+
+        # preconditioned CS-MINRES (beyond the reference: src/cs_minres.rs
+        # has no precond variant) on the same system, real 1/|d| Jacobi
+        dr_ = cd_op.re.diagonal_padded()
+        di_ = cd_op.im.diagonal_padded()
+        dd = jnp.sqrt(dr_ * dr_ + di_ * di_)
+        M_abs = sp.DiagPrecond(
+            diag_inv=jnp.ones((), dd.dtype)
+            / jnp.where(dd == 0, jnp.ones((), dd.dtype), dd)
+        )
+
+        def build_pcs(mi, tol):
+            return jax.jit(
+                lambda: with_real_planes(sp.cs_minres)(
+                    cd_op, bdr, bdi, M=M_abs, tol=tol, max_iter=mi
+                )
+            )
+
+        _, _, info_pcs = build_pcs(400, 1e-4)()
+        t_pcs = time_solve_periter(lambda mi: build_pcs(mi, 0.0),
+                                   iters_forced=400)
+        solve_report(
+            "cs_minres c64 1M rows (damped complex-symmetric, |d| Jacobi)",
+            info_pcs, 1e-4, t_pcs,
+        )
     except Exception as e:
         log(f"complex bicgstab 1M bench unavailable: {type(e).__name__}: {e}")
 

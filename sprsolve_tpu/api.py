@@ -84,7 +84,9 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
     if isinstance(M, str) and M == "amg":
         if method == "cs_minres":
             raise InvalidPreconditioner(
-                "cs_minres has no preconditioned form; pass M=None"
+                "cs_minres's preconditioned form needs a REAL symmetric-"
+                "positive M (e.g. M='jacobi' → 1/|d|); an AMG hierarchy "
+                "built from a complex-symmetric matrix is not one"
             )
         # algebraic multigrid-lite: RCM localizes the graph so consecutive-
         # pair (1-D grid) aggregation is meaningful, then the geometric
@@ -135,13 +137,34 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
         else:
             M = (ILU0Precond if M == "ilu0" else IC0Precond).from_csr(src)
 
-    if M is not None and method == "cs_minres":
-        # the reference CSMinRes has no preconditioned variant
-        # (src/cs_minres.rs exports only solve); silently dropping M would
-        # hand back an unpreconditioned solve the user didn't ask for
-        raise InvalidPreconditioner(
-            "cs_minres has no preconditioned form; pass M=None"
-        )
+    if method == "cs_minres" and isinstance(M, str) and M == "jacobi":
+        # cs_minres's preconditioned form (beyond the reference — the
+        # Saunders adaptation of src/minres.rs:178-341) requires a REAL
+        # symmetric-positive M⁻¹; the standard real Jacobi for a
+        # complex-symmetric system is 1/|diag| (Freund).  Build it here so
+        # the generic complex-Jacobi branch below never fires for this
+        # method.
+        import numpy as _np
+
+        if hasattr(op, "diagonal_padded"):
+            if hasattr(op, "re"):
+                # |d| from the re/im planes: no complex array is built
+                # outside a compiled program (axon-safe, the same planes
+                # discipline as ComplexPaddedDIA.jacobi_precond)
+                dr = op.re.diagonal_padded()
+                di = op.im.diagonal_padded()
+                d = jnp.sqrt(dr * dr + di * di)
+            else:
+                d = jnp.abs(op.diagonal_padded())
+            safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+            M = _DP(diag_inv=jnp.ones((), d.dtype) / safe)
+            # already in the padded layout — skip the relay below
+            return op, M, True
+        d = _np.abs(_np.asarray(
+            op.diagonal() if hasattr(op, "diagonal") else A.diagonal()
+        ))
+        d[d == 0] = 1.0
+        M = _DP.new(d)
 
     padded = hasattr(op, "pad_vec")
     if padded:
@@ -453,6 +476,13 @@ class CSMinRes:
 
     def solve(self, rhs, x=None, max_iter: int = 1000, tol: float = 1e-12):
         return _run(cs_minres, self.A, rhs, x, max_iter, tol)
+
+    def precond_solve(self, precond, rhs, x=None, max_iter: int = 1000,
+                      tol: float = 1e-12):
+        """Preconditioned Saunders process — beyond the reference (its
+        CSMinRes exports only ``solve``). ``precond`` must apply a REAL
+        symmetric-positive M⁻¹ (see ``solvers/cs_minres.py``)."""
+        return _run(cs_minres, self.A, rhs, x, max_iter, tol, M=precond)
 
 
 class GaussSeidel:

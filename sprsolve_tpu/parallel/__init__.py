@@ -16,12 +16,13 @@ Because every solver already threads an ``axis_name`` through its reductions
 
 from . import multihost
 from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
-from .pallas_dist import DistPaddedDIA
+from .pallas_dist import DistComplexPaddedDIA, DistPaddedDIA
 from .solve import distributed_solve, make_solver_specs
 
 __all__ = [
     "AllGatherELL",
     "HaloDIA",
+    "DistComplexPaddedDIA",
     "DistPaddedDIA",
     "partition_csr",
     "partition_dia",

@@ -33,8 +33,11 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.pallas_spmv import (
     BLOCK_ROWS,
+    COMPLEX_BLOCK_ROWS,
     LANES,
     PaddedDIA,
+    _dia_complex_dotmv_pallas_call,
+    _dia_complex_pallas_call,
     _dia_dotmv_pallas_call,
     _dia_pallas_call,
     _dia_wdot_pallas_call,
@@ -241,4 +244,145 @@ jax.tree_util.register_dataclass(
         "block_rows",
         "vdtype",
     ),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DistComplexPaddedDIA:
+    """Row-sharded complex-banded operator: the fused two-plane Pallas
+    kernel per shard, fed by the same ppermute halo exchange as
+    :class:`DistPaddedDIA` (one exchange per re/im plane).
+
+    Closes the complex × distributed cell of the capability matrix: complex
+    Krylov solves (planes-BiCGStab, CS-MINRES incl. the preconditioned
+    Saunders form) run row-partitioned over a mesh with the single-chip
+    kernel structure intact — fused SpMV+dot per shard, psum'd partials.
+    Pytree leaves are the two real band planes (axon/complex-buffer-safe);
+    vectors are complex inside shard_map.
+    """
+
+    re: DistPaddedDIA
+    im: DistPaddedDIA
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    @property
+    def n(self):
+        return self.re.n
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.result_type(self.re.dtype, jnp.complex64))
+
+    @property
+    def axis_name(self):
+        return self.re.axis_name
+
+    def pspec(self, axis_name=None) -> "DistComplexPaddedDIA":
+        return DistComplexPaddedDIA(
+            re=self.re.pspec(axis_name), im=self.im.pspec(axis_name)
+        )
+
+    @staticmethod
+    def from_dia(
+        m: DIA,
+        n_devices: int,
+        axis_name: str = "rows",
+        lanes: int = LANES,
+        block_rows: int = COMPLEX_BLOCK_ROWS,
+    ) -> "DistComplexPaddedDIA":
+        bands = np.asarray(m.bands)
+        mk = lambda b: DistPaddedDIA.from_dia(
+            DIA(bands=b, offsets=m.offsets, shape=m.shape),
+            n_devices, axis_name=axis_name, lanes=lanes, block_rows=block_rows,
+        )
+        return DistComplexPaddedDIA(re=mk(bands.real), im=mk(bands.imag))
+
+    # ---- host-side layout helpers (global, before sharding) ----------------
+    def pad_vec(self, x: jax.Array) -> jax.Array:
+        return (
+            self.re.pad_vec(jnp.real(x))
+            + 1j * self.re.pad_vec(jnp.imag(x))
+        ).astype(jnp.result_type(x.dtype, jnp.complex64))
+
+    def unpad_vec(self, x2: jax.Array) -> jax.Array:
+        return self.re.unpad_vec(x2)
+
+    # ---- distributed matvec (inside shard_map) -----------------------------
+    def _exchange_planes(self, body: jax.Array):
+        """Halo-extended (hr + r_local + hr, lanes) re/im windows; the four
+        ppermutes are mutually independent and independent of the band
+        loads, so they overlap the kernel's first block DMAs."""
+        xr = jnp.real(body)
+        xi = jnp.imag(body)
+        return self.re._exchange_halo(xr), self.re._exchange_halo(xi)
+
+    def matvec(self, body: jax.Array) -> jax.Array:
+        p = self.re
+        xr_ext, xi_ext = self._exchange_planes(body)
+        yr, yi = _dia_complex_pallas_call(
+            p.bands3, self.im.bands3, xr_ext, xi_ext,
+            p.offsets, p.hr, p.lanes, p.block_rows,
+        )
+        return (yr + 1j * yi).astype(body.dtype)
+
+    def matvec_dot(self, body: jax.Array):
+        """Fused two-plane SpMV + LOCAL partial of conj(x)·(A·x); solvers
+        psum the partial over the row axis."""
+        p = self.re
+        xr_ext, xi_ext = self._exchange_planes(body)
+        yr, yi, dre, dim = _dia_complex_dotmv_pallas_call(
+            p.bands3, self.im.bands3, xr_ext, xi_ext,
+            p.offsets, p.hr, p.lanes, p.block_rows,
+        )
+        return (yr + 1j * yi).astype(body.dtype), (dre + 1j * dim).astype(
+            body.dtype
+        )
+
+    def matvec_conj_dot(self, body: jax.Array):
+        """Fused (A·conj(x), conj(x)·A·conj(x)) local partial — the Saunders
+        step of distributed CS-MINRES in one kernel pass per shard."""
+        p = self.re
+        xr_ext, xi_ext = self._exchange_planes(body)
+        yr, yi, dre, dim = _dia_complex_dotmv_pallas_call(
+            p.bands3, self.im.bands3, xr_ext, xi_ext,
+            p.offsets, p.hr, p.lanes, p.block_rows, conj_x=True,
+        )
+        return (yr + 1j * yi).astype(body.dtype), (dre + 1j * dim).astype(
+            body.dtype
+        )
+
+    def diagonal_planes_global(self):
+        """Global (D·r_local, LANES) re/im diagonal planes (host-side, for
+        preconditioner setup)."""
+        return self.re.diagonal_global(), self.im.diagonal_global()
+
+    def jacobi_precond(self):
+        """Complex Jacobi in the distributed layout, as re/im planes
+        (pad rows have zero diagonal → forced to 1 + 0i, inert)."""
+        from ..precond import ComplexDiagPrecond
+
+        dr, di = self.diagonal_planes_global()
+        denom = dr * dr + di * di
+        one = jnp.ones((), dr.dtype)
+        safe = jnp.where(denom == 0, one, denom)
+        inv_re = jnp.where(denom == 0, one, dr) / safe
+        inv_im = jnp.where(denom == 0, jnp.zeros((), dr.dtype), -di) / safe
+        return ComplexDiagPrecond(inv_re=inv_re, inv_im=inv_im)
+
+    def abs_jacobi_precond(self):
+        """Real 1/|d| Jacobi in the distributed layout — the valid M for the
+        preconditioned Saunders process (solvers/cs_minres.py)."""
+        from ..precond import DiagPrecond
+
+        dr, di = self.diagonal_planes_global()
+        d = jnp.sqrt(dr * dr + di * di)
+        safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+        return DiagPrecond(diag_inv=jnp.ones((), d.dtype) / safe)
+
+
+jax.tree_util.register_dataclass(
+    DistComplexPaddedDIA, data_fields=("re", "im"), meta_fields=()
 )

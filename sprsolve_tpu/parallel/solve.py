@@ -19,7 +19,7 @@ from ..errors import SolveInfo
 from ..precond import DiagPrecond
 from ..sparse.containers import CSR, DIA
 from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
-from .pallas_dist import DistPaddedDIA
+from .pallas_dist import DistComplexPaddedDIA, DistPaddedDIA
 
 
 def make_solver_specs(A_parts, M_parts, axis_name: str):
@@ -63,7 +63,8 @@ def distributed_solve(
         A_parts = partition_csr(A, n_dev, axis_name)
     elif isinstance(A, DIA):
         A_parts = partition_dia(A, n_dev, axis_name)
-    elif isinstance(A, (AllGatherELL, HaloDIA, DistPaddedDIA)):
+    elif isinstance(A, (AllGatherELL, HaloDIA, DistPaddedDIA,
+                    DistComplexPaddedDIA)):
         A_parts = A
     else:
         raise TypeError(f"cannot partition operator of type {type(A)}")
@@ -72,7 +73,7 @@ def distributed_solve(
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    if isinstance(A_parts, DistPaddedDIA):
+    if isinstance(A_parts, (DistPaddedDIA, DistComplexPaddedDIA)):
         # kernel 2-D layout: (D·r_local, LANES) row blocks
         b = A_parts.pad_vec(b)
         x0 = A_parts.pad_vec(x0)
@@ -87,9 +88,20 @@ def distributed_solve(
 
     M_parts = None
     if M is not None:
-        if isinstance(M, DiagPrecond):
+        from ..precond import ComplexDiagPrecond
+
+        if isinstance(M, ComplexDiagPrecond):
+            # complex Jacobi planes already in the operator's global 2-D
+            # layout (built via DistComplexPaddedDIA.jacobi_precond); each
+            # plane shards with the rows
+            M_parts = M
+        elif isinstance(M, DiagPrecond):
             di = M.diag_inv
-            if isinstance(A_parts, DistPaddedDIA):
+            if isinstance(A_parts, DistComplexPaddedDIA):
+                if di.ndim != 2:  # flat real diag → the 2-D kernel layout
+                    di = A_parts.re.pad_vec(di)
+                # (2-D = already distributed layout, e.g. abs_jacobi_precond)
+            elif isinstance(A_parts, DistPaddedDIA):
                 # zero-padded reciprocal keeps pad coordinates inert (0·0 = 0)
                 di = A_parts.pad_vec(di)
             elif di.shape[0] != n_pad:
@@ -161,7 +173,7 @@ def distributed_solve(
     from .multihost import replicate
 
     x_pad = replicate(x_pad, mesh)
-    if isinstance(A_parts, DistPaddedDIA):
+    if isinstance(A_parts, (DistPaddedDIA, DistComplexPaddedDIA)):
         return A_parts.unpad_vec(x_pad), info
     if n_pad != n:
         x_pad = x_pad[:n]

@@ -12,7 +12,25 @@ replicated exactly (``src/cs_minres.rs:97-146``):
 
 The reference exports this solver but never exercises it in an active test
 (``tests/test_minres.rs:14-15``); this framework fixes that gap —
-see ``tests/test_cs_minres.py``.
+see ``tests/test_complex_solve2.py``.
+
+**Preconditioned variant (beyond the reference).** ``src/cs_minres.rs`` has
+no precond form; here the MINRES preconditioning structure
+(``src/minres.rs:178-341``) is adapted to the Saunders process.  ``M`` must
+apply a **real symmetric positive** M⁻¹ (e.g. a real-diagonal Jacobi — the
+reference itself uses real diagonals on complex systems,
+``src/precond.rs:6-13``; for complex diagonals use |d|, Freund's standard
+choice): with M⁻¹ = E·Eᵀ and E real, the split-preconditioned operator
+E·A·Eᵀ stays complex-symmetric, so the same conjugated recurrence applies
+with the M⁻¹-image chain w = M⁻¹·v:
+
+    u        = A·conj(w_k)            (one fused two-plane kernel pass)
+    α        = conj_dot(w_k, u)
+    v̂_{k+1}β = u − α·v̂_k − β·v̂_{k-1}
+    β²       = conj_dot(v̂_{k+1}, M⁻¹·v̂_{k+1})   (> 0 gate, src/minres.rs:235-244)
+    p        seeded from conj(w_k)
+
+With M = I this reduces bitwise to the unpreconditioned path (w ≡ v).
 """
 
 from __future__ import annotations
@@ -25,7 +43,7 @@ from jax import lax
 
 from ..errors import Status
 from ..ops.operator import mv_conj_dot
-from ..vecalg import abs2, axpy, conj, conj_dot, norm2, rscale
+from ..vecalg import abs2, axpy, conj, conj_dot, eps_for, norm2, rscale
 from .common import check_shapes, make_info
 
 
@@ -33,6 +51,8 @@ class _State(NamedTuple):
     x: jax.Array
     v: jax.Array
     v_new: jax.Array
+    w: jax.Array         # M⁻¹-image chain (precond only; zeros otherwise)
+    w_new: jax.Array
     p: jax.Array
     p_old: jax.Array
     beta_new: jax.Array  # real
@@ -53,22 +73,29 @@ def cs_minres(
     b: jax.Array,
     x0: Optional[jax.Array] = None,
     *,
+    M=None,
     tol,
     max_iter,
     axis_name: Optional[str] = None,
     record_residuals: bool = False,
 ):
     """Solve A·x = b for complex-symmetric A. Returns ``(x, SolveInfo)``,
-    plus the residual trace when ``record_residuals=True`` (static max_iter)."""
+    plus the residual trace when ``record_residuals=True`` (static max_iter).
+
+    ``M`` (optional) applies a real symmetric-positive M⁻¹ — see the module
+    docstring for the validity requirement and the β² > 0 runtime gate.
+    """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     check_shapes(A, b, x0, axis_name)
+    has_precond = M is not None
 
     T = b.dtype
     rdt = jnp.finfo(T).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype
     tol = jnp.asarray(tol, dtype=rdt)
     hist_len = int(max_iter) if record_residuals else 0
     max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
+    eps = eps_for(b.dtype)
     one_t = jnp.ones((), T)
     zero_r = jnp.zeros((), rdt)
 
@@ -77,18 +104,36 @@ def cs_minres(
 
         v_new = axpy(-one_t, A.matvec(x0), b)  # r₁ = b − A·x
         res_norm0 = norm2(v_new, axis_name)
-        beta_new0 = res_norm0
-        beta_one = beta_new0
-        v1 = rscale(jnp.ones((), rdt) / beta_new0, v_new)
         zeros = jnp.zeros_like(b)
 
+        if has_precond:
+            w_new = M.matvec(v_new)
+            beta_new2 = conj_dot(v_new, w_new, axis_name)
+            bad0 = (jnp.real(beta_new2) < eps) | (
+                jnp.abs(jnp.imag(beta_new2)) > eps * jnp.real(beta_new2)
+            )
+            beta_new0 = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
+            ts = jnp.ones((), rdt) / beta_new0
+            v1 = rscale(ts, v_new)
+            w1 = rscale(ts, w_new)
+        else:
+            bad0 = jnp.zeros((), jnp.bool_)
+            beta_new0 = res_norm0
+            v1 = rscale(jnp.ones((), rdt) / beta_new0, v_new)
+            w1 = zeros
+        beta_one = beta_new0
+
         st0 = _State(
-            x=x0, v=zeros, v_new=v1, p=zeros, p_old=zeros,
+            x=x0, v=zeros, v_new=v1, w=zeros, w_new=w1, p=zeros, p_old=zeros,
             beta_new=beta_new0,
             c=one_t, c_old=one_t, s=zero_r, s_old=zero_r, eta=one_t,
             res_norm=res_norm0,
             its=jnp.int32(0),
-            status=jnp.int32(Status.RUNNING),
+            status=jnp.where(
+                bad0,
+                jnp.int32(Status.INVALID_PRECONDITIONER),
+                jnp.int32(Status.RUNNING),
+            ),
             res=zero_r,
             hist=jnp.full(hist_len, jnp.nan, dtype=rdt),
         )
@@ -99,56 +144,93 @@ def cs_minres(
         def body_fn(s_):
             beta = s_.beta_new
             v_old, v = s_.v, s_.v_new
+            w = s_.w_new if has_precond else v
 
             # A·conj(q_k) and α = conj(q_k)·(A·conj(q_k)) in one operator
             # pass where supported (the two-plane kernel folds the
-            # conjugation and the dot into the SpMV; src/cs_minres.rs:99-103)
-            tvec = conj(v)                      # conj(q_k), seeds p below
-            v_new, alpha = mv_conj_dot(A, v, axis_name)
+            # conjugation and the dot into the SpMV; src/cs_minres.rs:99-103).
+            # Preconditioned: the same step on the M⁻¹-image w.
+            tvec = conj(w)                      # seeds p below
+            v_new, alpha = mv_conj_dot(A, w, axis_name)
             v_new = axpy((-beta).astype(T), v_old, v_new)
             v_new = axpy(-alpha, v, v_new)
-            beta_new = norm2(v_new, axis_name)
-            v_new = rscale(jnp.ones((), rdt) / beta_new, v_new)
 
-            # modified Givens with c / c̄ entries (src/cs_minres.rs:109-134)
-            r3 = s_.s_old * beta
-            tr = jnp.conj(s_.c_old) * beta
-            r2 = alpha * s_.s + s_.c * tr
-            r1_hat = jnp.conj(s_.c) * alpha - tr * s_.s
-            r1_inv = jnp.ones((), rdt) / jnp.sqrt(abs2(r1_hat) + beta_new * beta_new)
+            if has_precond:
+                w_tmp = M.matvec(v_new)
+                beta_new2 = conj_dot(v_new, w_tmp, axis_name)
+                # β-positivity gate adapted from src/minres.rs:278-287; the
+                # reference returns Err before touching x, so the rotation
+                # and update are skipped on the bad branch.
+                bad = (jnp.real(beta_new2) < eps) | (
+                    jnp.abs(jnp.imag(beta_new2)) > eps * jnp.real(beta_new2)
+                )
+                beta_new = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
+            else:
+                bad = jnp.zeros((), jnp.bool_)
+                w_tmp = s_.w_new
+                beta_new = norm2(v_new, axis_name)
 
-            c_old, s_old = s_.c, s_.s
-            c = jnp.conj(r1_hat) * r1_inv
-            s_sin = beta_new * r1_inv
+            def rotate_and_update(s_):
+                ts = jnp.ones((), rdt) / beta_new
+                vn = rscale(ts, v_new)
+                wn = rscale(ts, w_tmp) if has_precond else w_tmp
 
-            # p seeded from conj(q_k) (src/cs_minres.rs:141-146)
-            p_new = tvec
-            p_new = axpy(-r2, s_.p, p_new)
-            p_new = axpy((-r3).astype(T), s_.p_old, p_new)
-            p_new = rscale(r1_inv, p_new)
+                # modified Givens with c / c̄ entries (src/cs_minres.rs:109-134)
+                r3 = s_.s_old * beta
+                tr = jnp.conj(s_.c_old) * beta
+                r2 = alpha * s_.s + s_.c * tr
+                r1_hat = jnp.conj(s_.c) * alpha - tr * s_.s
+                r1_inv = jnp.ones((), rdt) / jnp.sqrt(
+                    abs2(r1_hat) + beta_new * beta_new
+                )
 
-            x = axpy((c * s_.eta) * beta_one, p_new, s_.x)
+                c_old, s_old = s_.c, s_.s
+                c = jnp.conj(r1_hat) * r1_inv
+                s_sin = beta_new * r1_inv
 
-            res_norm = s_.res_norm * jnp.abs(s_sin)
-            converged = res_norm < threshold
-            eta = s_.eta * (-s_sin)
+                # p seeded from conj(q_k) (src/cs_minres.rs:141-146);
+                # preconditioned: from conj(w_k), the Saunders analog of
+                # MINRES's w-seeded directions (src/minres.rs:324-329)
+                p_new = tvec
+                p_new = axpy(-r2, s_.p, p_new)
+                p_new = axpy((-r3).astype(T), s_.p_old, p_new)
+                p_new = rscale(r1_inv, p_new)
 
-            hist = s_.hist
-            if hist_len:
-                hist = hist.at[s_.its].set(res_norm / rhs_norm)
+                x = axpy((c * s_.eta) * beta_one, p_new, s_.x)
 
-            return _State(
-                x=x, v=v, v_new=v_new, p=p_new, p_old=s_.p,
-                beta_new=beta_new,
-                c=c, c_old=c_old, s=s_sin, s_old=s_old, eta=eta,
-                res_norm=res_norm,
-                its=jnp.where(converged, s_.its, s_.its + 1),
-                status=jnp.where(
-                    converged, jnp.int32(Status.CONVERGED), s_.status
-                ),
-                res=jnp.where(converged, res_norm / rhs_norm, s_.res),
-                hist=hist,
-            )
+                res_norm = s_.res_norm * jnp.abs(s_sin)
+                converged = res_norm < threshold
+                eta = s_.eta * (-s_sin)
+
+                hist = s_.hist
+                if hist_len:
+                    hist = hist.at[s_.its].set(res_norm / rhs_norm)
+
+                return _State(
+                    x=x, v=v, v_new=vn,
+                    w=w if has_precond else s_.w, w_new=wn,
+                    p=p_new, p_old=s_.p,
+                    beta_new=beta_new,
+                    c=c, c_old=c_old, s=s_sin, s_old=s_old, eta=eta,
+                    res_norm=res_norm,
+                    its=jnp.where(converged, s_.its, s_.its + 1),
+                    status=jnp.where(
+                        converged, jnp.int32(Status.CONVERGED), s_.status
+                    ),
+                    res=jnp.where(converged, res_norm / rhs_norm, s_.res),
+                    hist=hist,
+                )
+
+            if has_precond:
+                return lax.cond(
+                    bad,
+                    lambda s_: s_._replace(
+                        status=jnp.int32(Status.INVALID_PRECONDITIONER)
+                    ),
+                    rotate_and_update,
+                    s_,
+                )
+            return rotate_and_update(s_)
 
         final = lax.while_loop(cond_fn, body_fn, st0)
         status = jnp.where(

@@ -428,13 +428,6 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
             "refine inner solver must be 'cs_minres' or 'bicgstab' for "
             f"complex systems (got {inner!r})"
         )
-    if inner == "cs_minres" and M is not None:
-        from ..errors import InvalidPreconditioner
-
-        raise InvalidPreconditioner(
-            "cs_minres has no preconditioned form; pass M=None or "
-            "inner='bicgstab'"
-        )
     inner_fn = solvers[inner]
     data = np.asarray(A.data, np.complex128)
     re64_csr = CSR.from_arrays(data.real, A.indices, A.indptr, A.shape)
@@ -450,7 +443,12 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
                 "refine_solve supports M='jacobi' or a prebuilt "
                 "inner-layout preconditioner"
             )
-        M = A32.jacobi_precond()
+        if inner == "cs_minres":
+            # the preconditioned Saunders process needs a REAL symmetric-
+            # positive M⁻¹: 1/|d| (see solvers/cs_minres.py docstring)
+            M = _real_abs_jacobi(A32)
+        else:
+            M = A32.jacobi_precond()
     b = np.asarray(b, np.complex128)
     x0 = np.zeros_like(b) if x0 is None else np.asarray(x0, np.complex128)
     args = (A64, A32, jnp.asarray(b.real), jnp.asarray(b.imag),
@@ -469,6 +467,31 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
         ))
         xr, xi, info = run(*args)
     return np.asarray(xr) + 1j * np.asarray(xi), info
+
+
+def _real_abs_jacobi(A32):
+    """Real |d| Jacobi (1/|diag|) in the operator's own layout — the valid
+    preconditioner shape for the Saunders process (real symmetric positive;
+    Freund's standard choice for complex-symmetric systems)."""
+    import numpy as np
+
+    from ..precond import DiagPrecond
+
+    if hasattr(A32, "inner") and hasattr(A32, "perm"):
+        # Reordered wrapper: solves run in permuted layout — build from the
+        # inner (permuted) operator so the diagonal lands in solve space
+        return _real_abs_jacobi(A32.inner)
+    if hasattr(A32, "diagonal_padded") and hasattr(A32, "re"):
+        import jax.numpy as _jnp
+
+        dr = A32.re.diagonal_padded()
+        di = A32.im.diagonal_padded()
+        d = _jnp.sqrt(dr * dr + di * di)
+        safe = _jnp.where(d == 0, _jnp.ones((), d.dtype), d)
+        return DiagPrecond(diag_inv=_jnp.ones((), d.dtype) / safe)
+    d = np.abs(np.asarray(A32.diagonal()))
+    d[d == 0] = 1.0
+    return DiagPrecond.new(d.astype(np.float32))
 
 
 def _complex_inner_operator(A, data):

@@ -57,3 +57,63 @@ def test_cs_minres_reduces_to_minres_on_real_symmetric():
     assert it1 == it2 == GOLDEN["cs_minres_real_sym"]
     assert res1 == res2
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_cs_minres_preconditioned_real_jacobi():
+    """Preconditioned CS-MINRES (beyond the reference — the Saunders
+    adaptation of src/minres.rs:178-341): a real 1/|d| Jacobi must keep the
+    manufactured solution exact and not increase the iteration count."""
+    import jax.numpy as jnp
+
+    from sprsolve_tpu.solvers import cs_minres
+
+    A, rhs, diag = _problem()
+    M = sp.DiagPrecond.new(np.abs(diag))
+    x, info = cs_minres(A, jnp.asarray(rhs), M=M, max_iter=300, tol=1e-22)
+    info.raise_if_error()
+    assert float(info.residual) <= 1e-22
+    assert int(info.iterations) <= GOLDEN["cs_minres"]
+    assert np.abs(np.asarray(x) - _x_known(8, 8)).max() < 1e-12
+
+
+def test_cs_minres_precond_identity_matches_unpreconditioned():
+    """M = identity-scaled Jacobi must reproduce the unpreconditioned
+    Saunders process bitwise (the M=I reduction of the derivation)."""
+    import jax.numpy as jnp
+
+    from sprsolve_tpu.solvers import cs_minres
+
+    A, rhs, _ = _problem()
+    M = sp.DiagPrecond.new(np.ones(64))
+    x1, i1 = cs_minres(A, jnp.asarray(rhs), max_iter=300, tol=1e-22)
+    x2, i2 = cs_minres(A, jnp.asarray(rhs), M=M, max_iter=300, tol=1e-22)
+    assert int(i1.iterations) == int(i2.iterations)
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(x2), rtol=1e-12, atol=1e-13
+    )
+
+
+def test_cs_minres_invalid_precond_gate():
+    """A non-positive 'preconditioner' must trip the β² > 0 gate with
+    Status.INVALID_PRECONDITIONER (the src/minres.rs:235-244 analog)."""
+    import jax.numpy as jnp
+
+    from sprsolve_tpu.errors import Status
+    from sprsolve_tpu.solvers import cs_minres
+
+    A, rhs, _ = _problem()
+    M = sp.DiagPrecond.new(-np.ones(64))  # negative definite: invalid
+    x, info = cs_minres(A, jnp.asarray(rhs), M=M, max_iter=300, tol=1e-22)
+    assert int(info.status) == Status.INVALID_PRECONDITIONER
+
+
+def test_solve_api_cs_minres_jacobi():
+    """solve(method='cs_minres', M='jacobi') builds the real |d| Jacobi and
+    converges (previously this raised InvalidPreconditioner)."""
+    from sprsolve_tpu.api import solve
+
+    A, rhs, _ = _problem()
+    x, info = solve(A, rhs, method="cs_minres", M="jacobi", tol=1e-12,
+                    max_iter=300)
+    info.raise_if_error()
+    assert np.abs(np.asarray(x) - _x_known(8, 8)).max() < 1e-9

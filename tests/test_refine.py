@@ -111,10 +111,16 @@ def test_unstructured_matrix_falls_back_to_csr_residuals():
     info.raise_if_error()
 
 
-def test_complex_cs_minres_with_M_raises():
+def test_complex_cs_minres_with_jacobi_converges():
+    """inner='cs_minres' with M='jacobi' builds the real 1/|d| Jacobi (the
+    preconditioned Saunders form added beyond the reference) and refines to
+    c128 accuracy."""
     A, rhs, _ = problems.complex_symmetric_grid_with_diag((6, 6))
-    with pytest.raises(sp.errors.InvalidPreconditioner):
-        sp.refine_solve(A, rhs, inner="cs_minres", M="jacobi", tol=1e-10)
+    x, info = sp.refine_solve(A, rhs, inner="cs_minres", M="jacobi", tol=1e-10)
+    info.raise_if_error()
+    dense = np.asarray(A.todense())
+    r = dense @ np.asarray(x) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-10
 
 
 def test_unknown_inner_raises():

@@ -59,21 +59,28 @@ def test_solve_accepts_csc_with_jacobi():
     info.raise_if_error()
     np.testing.assert_allclose(np.asarray(x), [1.0, 2.0, 3.0], rtol=1e-12)
 
-def test_solve_cs_minres_rejects_preconditioner():
-    """M with cs_minres must raise, not be silently dropped (the reference
-    CSMinRes has no precond variant, src/cs_minres.rs)."""
-    import pytest
-
-    from sprsolve_tpu.errors import InvalidPreconditioner
+def test_solve_cs_minres_accepts_jacobi():
+    """method='cs_minres' with M='jacobi' routes through the real 1/|d|
+    Jacobi (the preconditioned Saunders form added beyond the reference —
+    the reference's CSMinRes exports only solve, src/cs_minres.rs) and the
+    solve converges. An invalid (non-positive) M is caught at runtime by
+    the β² gate rather than rejected up front."""
+    from sprsolve_tpu.errors import Status
 
     A, rhs, diag = problems.complex_symmetric_grid_with_diag((8, 8))
-    with pytest.raises(InvalidPreconditioner):
-        sp.solve(A, rhs, method="cs_minres", M="jacobi", tol=1e-22, max_iter=300)
-    with pytest.raises(InvalidPreconditioner):
-        sp.solve(
-            A, rhs, method="cs_minres", M=sp.DiagPrecond.new(diag),
-            tol=1e-22, max_iter=300,
-        )
+    x, info = sp.solve(A, rhs, method="cs_minres", M="jacobi", tol=1e-12,
+                       max_iter=300)
+    info.raise_if_error()
+    dense = np.asarray(A.todense())
+    r = dense @ np.asarray(x) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-10
+
+    # a negative-definite "preconditioner" trips the β² > 0 gate
+    x2, info2 = sp.solve(
+        A, rhs, method="cs_minres",
+        M=sp.DiagPrecond.new(-np.ones(64)), tol=1e-12, max_iter=300,
+    )
+    assert int(info2.status) == Status.INVALID_PRECONDITIONER
 
 
 def test_solve_complex_padded_jacobi():
