@@ -176,15 +176,24 @@ def bicgstab(
             # body avoids a vector-carrying lax.cond per iteration, which
             # measured ~40% of BiCGStab's loop cost.
             #
-            # The ρ-breakdown restart is handled the same way: a
-            # vector-carrying lax.cond inside the body forces XLA to stage
-            # full-vector copies for the conditional's operands EVERY
-            # iteration (4 async (r_pad, lanes) copies observed in the
-            # compiled HLO, ~15% of the loop).  Instead the restart predicate
-            # exits an INNER while_loop and an outer loop performs the
-            # (rare) restart — identical arithmetic and iteration counts,
-            # but the conditional executes once per restart event, not once
-            # per iteration.
+            # The ρ-breakdown restart has TWO equivalent compilations, chosen
+            # statically per operator class (identical arithmetic and
+            # iteration counts either way — both pass the parity goldens):
+            #
+            # - operators with fused w-dot kernels (Pallas paths): the
+            #   restart predicate exits an INNER while_loop and an outer
+            #   loop performs the rare restart.  A vector-carrying lax.cond
+            #   in the body forces 4 async full-vector copies per iteration
+            #   in the compiled HLO; nesting removes them — measured +17%
+            #   at 10M rows (309 vs 371 ms), neutral at 1M where XLA pins
+            #   the working set in VMEM.
+            # - pure-XLA operators (DIA/CSR/BSR fusion-soup matvecs): the
+            #   per-iteration lax.cond fuses cleanly, and the nested
+            #   structure measured 30% SLOWER (129 vs 94-100 µs/iter on the
+            #   XLA-DIA path, A/B on chip) — keep the single loop with the
+            #   in-body cond.
+            nested_restart = hasattr(A, "matvec_wdot")
+
             def cond_outer(s_):
                 return (
                     (s_.status == Status.RUNNING)
@@ -212,7 +221,27 @@ def bicgstab(
                     # ρ = conj(r0)·r was computed at the previous tail, fused
                     # with the ‖r‖ pass (identical value, one fewer pass here)
                     rho = s_.rho_next
-                    r_, r0_, r0_norm_tol = s_.r, s_.r0, s_.r0_norm_tol
+
+                    if nested_restart:
+                        # restart handled by the outer loop
+                        r_, r0_, r0_norm_tol = s_.r, s_.r0, s_.r0_norm_tol
+                    else:
+                        # in-body ρ-breakdown restart (src/bicg_stab.rs:131-145)
+                        # carrying only the 4-tuple the branch touches
+                        def restart(op):
+                            rho_, rx, r0x, tolx = op
+                            r_r = axpy(-jnp.ones((), T), b, A.matvec(s_.x))
+                            rn = norm2(r_r, axis_name)
+                            rho_r = (rn * rn).astype(T)
+                            tol_r = jnp.real(rho_r) * eps * eps
+                            return rho_r, r_r, r_r, tol_r
+
+                        rho, r_, r0_, r0_norm_tol = lax.cond(
+                            jnp.abs(rho) < s_.r0_norm_tol,
+                            restart,
+                            lambda op: op,
+                            (rho, s_.r, s_.r0, s_.r0_norm_tol),
+                        )
 
                     beta = (rho / rho_old) * (s_.alpha / s_.w)
                     # p = r + β·(p − ω·v), MKL-axpby form (src/bicg_stab.rs:153-156)
@@ -281,7 +310,10 @@ def bicgstab(
                 s_ = lax.cond(restart_needed(s_), restart, lambda s: s, s_)
                 return lax.while_loop(cond_inner, body_fn, s_)
 
-            final = lax.while_loop(cond_outer, outer_body, st)
+            if nested_restart:
+                final = lax.while_loop(cond_outer, outer_body, st)
+            else:
+                final = lax.while_loop(cond_outer, body_fn, st)
 
             # classify the exit: converged (‖r‖ ≤ tol2, iters = its at the
             # failed check — identical to the reference's top-of-loop return,
