@@ -588,6 +588,52 @@ def main():
         except Exception as e:  # the JSON headline must survive large-scale
             log(f"BENCH_LARGE section failed: {type(e).__name__}: {e}")
 
+        # 10M-row COMPLEX configuration (ROADMAP r3 #3): damped
+        # complex-symmetric system through the fused two-plane kernel,
+        # preconditioned planes-BiCGStab.
+        try:
+            from sprsolve_tpu.ops.pallas_spmv import ComplexPaddedDIA
+            from sprsolve_tpu.solvers import with_real_planes
+            from sprsolve_tpu.sparse.containers import DIA as _DIA
+
+            dia10 = A10.to_dia()
+            cb10 = np.asarray(dia10.bands).astype(np.complex64)
+            ctr10 = dia10.offsets.index(0)
+            cb10[ctr10] = cb10[ctr10] + 0.5j
+            cop10 = ComplexPaddedDIA.from_dia(
+                _DIA(bands=cb10, offsets=dia10.offsets, shape=dia10.shape)
+            )
+            r10 = rng.standard_normal(n10).astype(np.float32)
+            br10 = jax.block_until_ready(cop10.re.pad_vec(jnp.asarray(r10)))
+            bi10 = jax.block_until_ready(
+                cop10.re.pad_vec(jnp.asarray(r10 * np.float32(0.25)))
+            )
+            M10 = cop10.jacobi_precond()
+
+            # operands as jit ARGUMENTS: closure constants of this size
+            # (two 10M-row band planes) exceed the remote-compile payload
+            # limit (HTTP 413)
+            run_c10 = jax.jit(
+                lambda op, br, bi, M, tol, mi: with_real_planes(sp.bicgstab)(
+                    op, br, bi, M=M, tol=tol, max_iter=mi
+                )
+            )
+
+            def build_c10(mi, tol):
+                return lambda: run_c10(
+                    cop10, br10, bi10, M10, jnp.float32(tol), jnp.int32(mi)
+                )
+
+            _, _, info_c10 = build_c10(200, 1e-4)()
+            t_c10 = time_solve_periter(lambda mi: build_c10(mi, 0.0),
+                                       iters_forced=100)
+            solve_report(
+                "bicgstab c64 10M rows (damped complex-symmetric, complex Jacobi)",
+                info_c10, 1e-4, t_c10,
+            )
+        except Exception as e:
+            log(f"BENCH_LARGE c64 section failed: {type(e).__name__}: {e}")
+
     # --- reference 2-D workload (benches/bicgstab.rs: 100x100 grid, n=10k)
     A2d = problems.grid_laplacian_dirichlet((100, 100), dtype=np.float32)
     rhs2d = np.zeros(10000, dtype=np.float32)

@@ -128,6 +128,29 @@ def main():
     log(f"  spread across device counts: {spread} iterations "
         f"(psum reduction-order effect)")
 
+    # ---- 4. 10M-row invariance (COMM_LARGE=1; minutes of CPU time) ----------
+    import os
+
+    if os.environ.get("COMM_LARGE") == "1":
+        log("\n== 10M-row iteration-count invariance (tol 1e-4) ==")
+        A10 = problems.poisson3d(216, 216, 216, dtype=np.float32)
+        dia10 = A10.to_dia()
+        rhs10 = np.random.default_rng(1).standard_normal(
+            A10.shape[0]
+        ).astype(np.float32)
+        M10 = sp.DiagPrecond.new(np.asarray(dia10.diagonal()))
+        counts10 = {}
+        for nd in (1, 4, 8):
+            sub = jax.make_mesh((nd,), ("rows",), devices=jax.devices()[:nd])
+            x, info = distributed_solve(
+                sp.bicgstab, dia10, jnp.asarray(rhs10), M=M10, tol=1e-4,
+                max_iter=400, mesh=sub,
+            )
+            counts10[nd] = int(info.iterations)
+            log(f"  {nd} device(s): {int(info.iterations)} iters, "
+                f"rel res {float(info.residual):.2e}")
+        log(f"  spread: {max(counts10.values()) - min(counts10.values())}")
+
 
 if __name__ == "__main__":
     main()
