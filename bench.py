@@ -449,13 +449,9 @@ def main():
 
         # preconditioned CS-MINRES (beyond the reference: src/cs_minres.rs
         # has no precond variant) on the same system, real 1/|d| Jacobi
-        dr_ = cd_op.re.diagonal_padded()
-        di_ = cd_op.im.diagonal_padded()
-        dd = jnp.sqrt(dr_ * dr_ + di_ * di_)
-        M_abs = sp.DiagPrecond(
-            diag_inv=jnp.ones((), dd.dtype)
-            / jnp.where(dd == 0, jnp.ones((), dd.dtype), dd)
-        )
+        from sprsolve_tpu.precond import real_abs_jacobi
+
+        M_abs = real_abs_jacobi(cd_op)
 
         def build_pcs(mi, tol):
             return jax.jit(

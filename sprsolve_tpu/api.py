@@ -137,34 +137,36 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
         else:
             M = (ILU0Precond if M == "ilu0" else IC0Precond).from_csr(src)
 
-    if method == "cs_minres" and isinstance(M, str) and M == "jacobi":
+    if method == "cs_minres" and M is not None:
         # cs_minres's preconditioned form (beyond the reference — the
         # Saunders adaptation of src/minres.rs:178-341) requires a REAL
-        # symmetric-positive M⁻¹; the standard real Jacobi for a
-        # complex-symmetric system is 1/|diag| (Freund).  Build it here so
-        # the generic complex-Jacobi branch below never fires for this
-        # method.
-        import numpy as _np
+        # symmetric-positive M⁻¹.  M='jacobi' builds the standard real
+        # 1/|diag| (Freund) in the operator's own layout; known-invalid
+        # classes (complex diagonals, nonsymmetric triangular-sweep
+        # applies) are rejected up front rather than left to the
+        # probabilistic runtime β² gate.
+        from .precond import ComplexDiagPrecond, real_abs_jacobi
 
-        if hasattr(op, "diagonal_padded"):
-            if hasattr(op, "re"):
-                # |d| from the re/im planes: no complex array is built
-                # outside a compiled program (axon-safe, the same planes
-                # discipline as ComplexPaddedDIA.jacobi_precond)
-                dr = op.re.diagonal_padded()
-                di = op.im.diagonal_padded()
-                d = jnp.sqrt(dr * dr + di * di)
-            else:
-                d = jnp.abs(op.diagonal_padded())
-            safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
-            M = _DP(diag_inv=jnp.ones((), d.dtype) / safe)
-            # already in the padded layout — skip the relay below
-            return op, M, True
-        d = _np.abs(_np.asarray(
-            op.diagonal() if hasattr(op, "diagonal") else A.diagonal()
-        ))
-        d[d == 0] = 1.0
-        M = _DP.new(d)
+        if isinstance(M, str):
+            if M != "jacobi":
+                raise InvalidPreconditioner(
+                    "cs_minres's preconditioned form needs a REAL "
+                    "symmetric-positive M⁻¹; of the string builders only "
+                    "M='jacobi' (→ 1/|d|) qualifies"
+                )
+            M = real_abs_jacobi(op if hasattr(op, "matvec") else A)
+            # real_abs_jacobi returns M in the operator's own (possibly
+            # padded) layout — skip the generic relay below
+            return op, M, hasattr(op, "pad_vec")
+        if isinstance(M, ComplexDiagPrecond) or (
+            isinstance(M, _DP) and jnp.iscomplexobj(M.diag_inv)
+        ) or isinstance(M, (ILU0Precond, IC0Precond)):
+            raise InvalidPreconditioner(
+                "cs_minres's preconditioned form needs a REAL symmetric-"
+                "positive M⁻¹ (a complex-diagonal Jacobi or a nonsymmetric "
+                "ILU0/IC0 sweep apply is not one); use M='jacobi' or a real "
+                "SPD operator"
+            )
 
     padded = hasattr(op, "pad_vec")
     if padded:

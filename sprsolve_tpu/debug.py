@@ -34,6 +34,7 @@ def _clear_kernel_caches():
         ps._dia_wdot_pallas_call,
         ps._dia_complex_pallas_call,
         ps._dia_complex_dotmv_pallas_call,
+        ps._dia_complex_wdot_pallas_call,
         pf.fused_orth_norm_call,
     ):
         f.clear_cache()

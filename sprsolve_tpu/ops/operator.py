@@ -68,16 +68,22 @@ def mv_wdot(A, x: jax.Array, w: jax.Array, axis_name=None):
 
 def mv_prec_wdot(A, M, x: jax.Array, w: jax.Array, axis_name=None):
     """(u = M⁻¹·x, y = A·u, conj(w)·y) with a *diagonal* M folded into the
-    SpMV input stage where the operator supports ``matvec_wdot_prec``; the
-    returned u is then a lazy elementwise expression XLA fuses into its
-    consumer (BiCGStab's x-update), not a materialized pass."""
-    from ..precond import DiagPrecond
+    SpMV input stage where the operator supports ``matvec_wdot_prec`` (or
+    ``matvec_wdot_cprec`` for a complex diagonal); the returned u is then a
+    lazy elementwise expression XLA fuses into its consumer (BiCGStab's
+    x-update), not a materialized pass."""
+    from ..precond import ComplexDiagPrecond, DiagPrecond
     from ..vecalg import _psum_if
 
     fn = getattr(A, "matvec_wdot_prec", None)
     if fn is not None and type(M) is DiagPrecond:
         y, wd, _ = fn(x, w, M.diag_inv)
         return x * M.diag_inv, y, _psum_if(wd, axis_name)
+    cfn = getattr(A, "matvec_wdot_cprec", None)
+    if cfn is not None and type(M) is ComplexDiagPrecond:
+        y, wd, _ = cfn(x, w, M.inv_re, M.inv_im)
+        u = x * (M.inv_re + 1j * M.inv_im).astype(x.dtype)
+        return u, y, _psum_if(wd, axis_name)
     u = M.matvec(x)
     y, wd = mv_wdot(A, u, w, axis_name)
     return u, y, wd
@@ -86,13 +92,18 @@ def mv_prec_wdot(A, M, x: jax.Array, w: jax.Array, axis_name=None):
 def mv_prec_wdot2(A, M, x: jax.Array, w: jax.Array, axis_name=None):
     """(u = M⁻¹·x, y = A·u, conj(w)·y, conj(y)·y) — the second-half variant
     of :func:`mv_prec_wdot`."""
-    from ..precond import DiagPrecond
+    from ..precond import ComplexDiagPrecond, DiagPrecond
     from ..vecalg import _psum_if
 
     fn = getattr(A, "matvec_wdot_prec", None)
     if fn is not None and type(M) is DiagPrecond:
         y, wd, yd = fn(x, w, M.diag_inv)
         return x * M.diag_inv, y, _psum_if(wd, axis_name), _psum_if(yd, axis_name)
+    cfn = getattr(A, "matvec_wdot_cprec", None)
+    if cfn is not None and type(M) is ComplexDiagPrecond:
+        y, wd, yd = cfn(x, w, M.inv_re, M.inv_im)
+        u = x * (M.inv_re + 1j * M.inv_im).astype(x.dtype)
+        return u, y, _psum_if(wd, axis_name), _psum_if(yd, axis_name)
     u = M.matvec(x)
     y, wd, yd = mv_wdot2(A, u, w, axis_name)
     return u, y, wd, yd

@@ -340,6 +340,109 @@ def _dia_complex_dotmv_pallas_call(
     return yr, yi, sums[0], sums[1]
 
 
+def _dia_complex_wdot_kernel(*refs, offsets, hr, lanes, has_dinv=False,
+                             w_is_x=False):
+    """Two-plane SpMV + per-block partials of conj(w)·(A·u) and ‖A·u‖².
+
+    The complex mirror of ``_dia_wdot_kernel`` (BiCGStab's two reduction
+    barriers ride the SpMV pass).  With ``has_dinv`` the complex Jacobi
+    apply u = (dr + i·di) ⊙ x runs in VMEM on the staged windows, so the
+    y = M⁻¹p / z = M⁻¹r intermediates never round-trip HBM.  With
+    ``w_is_x`` the dot reads the staged raw x planes (w = s = the SpMV
+    input), dropping both w streams.  Partials per block:
+    [Σ wr·yr + wi·yi, Σ wr·yi − wi·yr, Σ yr² + yi²] = [Re conj(w)·y,
+    Im conj(w)·y, conj(y)·y]."""
+    refs = list(refs)
+    bre_ref = refs.pop(0)
+    bim_ref = refs.pop(0)
+    xr_ref = refs.pop(0)
+    xi_ref = refs.pop(0)
+    if has_dinv:
+        dr_ref = refs.pop(0)
+        di_ref = refs.pop(0)
+    if w_is_x:
+        wr_ref, wi_ref = xr_ref, xi_ref
+    else:
+        wr_ref = refs.pop(0)
+        wi_ref = refs.pop(0)
+    yr_ref, yi_ref, part_ref = refs
+
+    xr = xr_ref[:, :]
+    xi = xi_ref[:, :]
+    if has_dinv:
+        dr = dr_ref[:, :]
+        di = di_ref[:, :]
+        ur = xr * dr - xi * di
+        ui = xr * di + xi * dr
+    else:
+        ur, ui = xr, xi
+    br = yr_ref.shape[0]
+    kw = dict(offsets=offsets, hr=hr, lanes=lanes, br=br, dtype=yr_ref.dtype)
+    rr = _band_accumulate(bre_ref, ur, **kw)
+    ii = _band_accumulate(bim_ref, ui, **kw)
+    ri = _band_accumulate(bre_ref, ui, **kw)
+    ir = _band_accumulate(bim_ref, ur, **kw)
+    yr = rr - ii
+    yi = ri + ir
+    yr_ref[:, :] = yr
+    yi_ref[:, :] = yi
+    wr_b = wr_ref[hr : hr + br, :]
+    wi_b = wi_ref[hr : hr + br, :]
+    i = pl.program_id(0)
+    part_ref[i, 0] = jnp.sum(wr_b * yr + wi_b * yi)
+    part_ref[i, 1] = jnp.sum(wr_b * yi - wi_b * yr)
+    part_ref[i, 2] = jnp.sum(yr * yr + yi * yi)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "hr", "lanes", "block_rows", "has_dinv",
+                     "w_is_x"),
+)
+def _dia_complex_wdot_pallas_call(
+    bre3, bim3, xr2, xi2, offsets, hr, lanes, block_rows, *extra,
+    has_dinv=False, w_is_x=False,
+):
+    """``extra`` carries, in order: (dr2, di2) when ``has_dinv``, then
+    (wr2, wi2) unless ``w_is_x``."""
+    d, r_pad, _ = bre3.shape
+    grid = (r_pad // block_rows,)
+    bspec = pl.BlockSpec(
+        (d, block_rows, lanes), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
+    )
+    win = pl.BlockSpec(
+        (pl.Element(block_rows + 2 * hr), pl.Element(lanes)),
+        lambda i: (i * block_rows, _I0),
+        memory_space=pltpu.VMEM,
+    )
+    body = pl.BlockSpec(
+        (block_rows, lanes), lambda i: (i, _I0), memory_space=pltpu.VMEM
+    )
+    n_extra = (2 if has_dinv else 0) + (0 if w_is_x else 2)
+    assert len(extra) == n_extra, (len(extra), has_dinv, w_is_x)
+    in_specs = [bspec, bspec, win, win] + [win] * n_extra
+    yr, yi, parts = _pallas_call(
+        functools.partial(
+            _dia_complex_wdot_kernel, offsets=offsets, hr=hr, lanes=lanes,
+            has_dinv=has_dinv, w_is_x=w_is_x,
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            body,
+            body,
+            pl.BlockSpec((grid[0], 3), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, lanes), xr2.dtype),
+            jax.ShapeDtypeStruct((r_pad, lanes), xr2.dtype),
+            jax.ShapeDtypeStruct((grid[0], 3), xr2.dtype),
+        ),
+    )(bre3, bim3, xr2, xi2, *extra)
+    sums = jnp.sum(parts, axis=0)
+    return yr, yi, sums[0], sums[1], sums[2]
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "hr", "lanes", "block_rows"))
 def _dia_complex_pallas_call(bre3, bim3, xr2, xi2, offsets, hr, lanes, block_rows):
     d, r_pad, _ = bre3.shape
@@ -755,6 +858,37 @@ class ComplexPaddedDIA:
         yi = jnp.concatenate([halo, yi_body, halo], axis=0)
         y = (yr + 1j * yi).astype(x2.dtype)
         return y, (dre + 1j * dim).astype(x2.dtype)
+
+    def _wdot_call(self, x2, w2, dinv_planes):
+        """Shared driver for the fused complex w-dot forms."""
+        p = self.re
+        w_is_x = w2 is x2
+        extra = tuple(dinv_planes)
+        if not w_is_x:
+            extra = extra + (jnp.real(w2), jnp.imag(w2))
+        yr_body, yi_body, wdr, wdi, yd = _dia_complex_wdot_pallas_call(
+            p.bands3, self.im.bands3, jnp.real(x2), jnp.imag(x2),
+            p.offsets, p.hr, p.lanes, p.block_rows, *extra,
+            has_dinv=bool(dinv_planes), w_is_x=w_is_x,
+        )
+        halo = jnp.zeros((p.hr, p.lanes), dtype=yr_body.dtype)
+        yr = jnp.concatenate([halo, yr_body, halo], axis=0)
+        yi = jnp.concatenate([halo, yi_body, halo], axis=0)
+        y = (yr + 1j * yi).astype(x2.dtype)
+        return y, (wdr + 1j * wdi).astype(x2.dtype), yd.astype(x2.dtype)
+
+    def matvec_wdot(self, x2: jax.Array, w2: jax.Array):
+        """Fused two-plane SpMV + (conj(w)·(A·x), ‖A·x‖²) — the complex
+        mirror of ``PaddedDIA.matvec_wdot`` (BiCGStab's reduction barriers
+        ride the SpMV pass; both w streams dropped when w is x)."""
+        return self._wdot_call(x2, w2, ())
+
+    def matvec_wdot_cprec(self, x2: jax.Array, w2: jax.Array,
+                          inv_re: jax.Array, inv_im: jax.Array):
+        """Complex-Jacobi-folded w-dot: u = (inv_re + i·inv_im) ⊙ x runs in
+        VMEM on the staged windows, then (A·u, conj(w)·A·u, ‖A·u‖²) in the
+        same pass — BiCGStab's y/z intermediates never round-trip HBM."""
+        return self._wdot_call(x2, w2, (inv_re, inv_im))
 
     def matvec_conj_dot(self, x2: jax.Array):
         """Fused (A·conj(x), conj(x)·(A·conj(x))) — the CS-MINRES Saunders

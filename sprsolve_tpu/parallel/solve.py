@@ -91,10 +91,28 @@ def distributed_solve(
         from ..precond import ComplexDiagPrecond
 
         if isinstance(M, ComplexDiagPrecond):
-            # complex Jacobi planes already in the operator's global 2-D
-            # layout (built via DistComplexPaddedDIA.jacobi_precond); each
-            # plane shards with the rows
-            M_parts = M
+            # complex Jacobi planes shard with the rows.  2-D planes are
+            # already in the operator's global kernel layout (built via
+            # DistComplexPaddedDIA.jacobi_precond); flat (n,) planes (the
+            # natural host-side build from the matrix diagonal) are re-laid
+            # here — pad slots get the inert 1 + 0i reciprocal.
+            ir, ii = M.inv_re, M.inv_im
+            if isinstance(A_parts, DistComplexPaddedDIA) and ir.ndim != 2:
+                total = A_parts.re.bands3.shape[1] * A_parts.re.lanes
+                ir = jnp.ones(total, ir.dtype).at[: A_parts.n].set(
+                    ir
+                ).reshape(-1, A_parts.re.lanes)
+                ii = jnp.zeros(total, ii.dtype).at[: A_parts.n].set(
+                    ii
+                ).reshape(-1, A_parts.re.lanes)
+            elif ir.shape[0] != n_pad and ir.ndim == 1:
+                ir = jnp.concatenate(
+                    [ir, jnp.ones(n_pad - ir.shape[0], ir.dtype)]
+                )
+                ii = jnp.concatenate(
+                    [ii, jnp.zeros(n_pad - ii.shape[0], ii.dtype)]
+                )
+            M_parts = ComplexDiagPrecond(inv_re=ir, inv_im=ii)
         elif isinstance(M, DiagPrecond):
             di = M.diag_inv
             if isinstance(A_parts, DistComplexPaddedDIA):

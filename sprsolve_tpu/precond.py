@@ -576,3 +576,41 @@ class RelayedPrecond:
 jax.tree_util.register_dataclass(
     RelayedPrecond, data_fields=("inner", "op"), meta_fields=()
 )
+
+
+def real_abs_jacobi(op) -> "DiagPrecond":
+    """Real 1/|d| Jacobi in ``op``'s own layout — the valid preconditioner
+    shape for the Saunders process of preconditioned CS-MINRES (real
+    symmetric positive; Freund's standard choice for complex-symmetric
+    systems).  One dispatcher for every operator class (Reordered wrappers
+    recurse into the permuted inner operator; two-plane padded operators
+    build from their plane diagonals; CSR-planes fallbacks from the plane
+    CSR diagonals; anything else from ``diagonal()``).  Zero diagonals are
+    forced to 1 (inert)."""
+    import numpy as np
+
+    # Reordered wrapper: solves run in permuted layout — build from the
+    # inner operator so the diagonal lands in solve space
+    if hasattr(op, "inner") and hasattr(op, "perm"):
+        return real_abs_jacobi(op.inner)
+    if hasattr(op, "abs_jacobi_precond"):
+        return op.abs_jacobi_precond()
+    if hasattr(op, "diagonal_padded") and hasattr(op, "re"):
+        # two-plane padded operator: |d| from the re/im planes (no complex
+        # array outside a compiled program — complex-buffer-safe)
+        dr = op.re.diagonal_padded()
+        di = op.im.diagonal_padded()
+        d = jnp.sqrt(dr * dr + di * di)
+        safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+        return DiagPrecond(diag_inv=jnp.ones((), d.dtype) / safe)
+    if hasattr(op, "re") and hasattr(op.re, "diagonal"):
+        # CSR-planes fallback operator (_PlanesComplexOp and kin)
+        dr = np.asarray(op.re.diagonal())
+        di = np.asarray(op.im.diagonal())
+        d = np.hypot(dr, di)
+        d[d == 0] = 1.0
+        return DiagPrecond.new(d.astype(dr.dtype))
+    d = np.abs(np.asarray(op.diagonal()))
+    d[d == 0] = 1.0
+    rdt = d.dtype if d.dtype in (np.float32, np.float64) else np.float32
+    return DiagPrecond.new(d.astype(rdt))

@@ -51,8 +51,7 @@ class _State(NamedTuple):
     x: jax.Array
     v: jax.Array
     v_new: jax.Array
-    w: jax.Array         # M⁻¹-image chain (precond only; zeros otherwise)
-    w_new: jax.Array
+    w_new: jax.Array     # M⁻¹-image of v_new (precond only; zeros otherwise)
     p: jax.Array
     p_old: jax.Array
     beta_new: jax.Array  # real
@@ -99,32 +98,52 @@ def cs_minres(
     one_t = jnp.ones((), T)
     zero_r = jnp.zeros((), rdt)
 
-    def main(rhs_norm):
-        threshold = tol * rhs_norm
+    def _beta_gate(beta_new2):
+        # β² = v̂ᴴM⁻¹v̂ must be real positive for a valid real-SPD M⁻¹.
+        # Scale-free: compare the imaginary part RELATIVE to the real part
+        # (an absolute-eps test falsely rejects small-magnitude systems),
+        # and reject strictly negative real parts; β² ≈ 0 is the lucky-
+        # breakdown case and is handled by the guarded 1/β below.
+        re2 = jnp.real(beta_new2)
+        return (re2 < 0) | (jnp.abs(jnp.imag(beta_new2)) > eps * jnp.abs(re2))
 
+    def main(rhs_norm):
         v_new = axpy(-one_t, A.matvec(x0), b)  # r₁ = b − A·x
-        res_norm0 = norm2(v_new, axis_name)
         zeros = jnp.zeros_like(b)
 
         if has_precond:
+            # Preconditioned residual tracking: the Givens sines contract
+            # the TRANSFORMED system's residual, so the recurrence must
+            # start from (and the threshold be expressed in) the M⁻¹-norm —
+            # mixing the 2-norm of r with M-norm sines would mis-report the
+            # residual by up to sqrt(κ(M)).  Reported residual is the
+            # RELATIVE M⁻¹-norm: ‖r‖_{M⁻¹} / ‖b‖_{M⁻¹}.
+            wb = M.matvec(b)
+            beta_b2 = conj_dot(b, wb, axis_name)
             w_new = M.matvec(v_new)
             beta_new2 = conj_dot(v_new, w_new, axis_name)
-            bad0 = (jnp.real(beta_new2) < eps) | (
-                jnp.abs(jnp.imag(beta_new2)) > eps * jnp.real(beta_new2)
-            )
+            bad0 = _beta_gate(beta_new2) | _beta_gate(beta_b2)
+            denom = jnp.sqrt(jnp.maximum(jnp.real(beta_b2), 0))
             beta_new0 = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
-            ts = jnp.ones((), rdt) / beta_new0
+            res_norm0 = beta_new0
+            ts = jnp.where(
+                beta_new0 > 0, jnp.ones((), rdt) / beta_new0,
+                jnp.zeros((), rdt),
+            )
             v1 = rscale(ts, v_new)
             w1 = rscale(ts, w_new)
         else:
             bad0 = jnp.zeros((), jnp.bool_)
+            res_norm0 = norm2(v_new, axis_name)
+            denom = rhs_norm
             beta_new0 = res_norm0
             v1 = rscale(jnp.ones((), rdt) / beta_new0, v_new)
             w1 = zeros
         beta_one = beta_new0
+        threshold = tol * denom
 
         st0 = _State(
-            x=x0, v=zeros, v_new=v1, w=zeros, w_new=w1, p=zeros, p_old=zeros,
+            x=x0, v=zeros, v_new=v1, w_new=w1, p=zeros, p_old=zeros,
             beta_new=beta_new0,
             c=one_t, c_old=one_t, s=zero_r, s_old=zero_r, eta=one_t,
             res_norm=res_norm0,
@@ -158,12 +177,11 @@ def cs_minres(
             if has_precond:
                 w_tmp = M.matvec(v_new)
                 beta_new2 = conj_dot(v_new, w_tmp, axis_name)
-                # β-positivity gate adapted from src/minres.rs:278-287; the
-                # reference returns Err before touching x, so the rotation
-                # and update are skipped on the bad branch.
-                bad = (jnp.real(beta_new2) < eps) | (
-                    jnp.abs(jnp.imag(beta_new2)) > eps * jnp.real(beta_new2)
-                )
+                # β-positivity gate adapted from src/minres.rs:278-287
+                # (scale-free form — see _beta_gate); the reference returns
+                # Err before touching x, so the rotation and update are
+                # skipped on the bad branch.
+                bad = _beta_gate(beta_new2)
                 beta_new = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
             else:
                 bad = jnp.zeros((), jnp.bool_)
@@ -171,7 +189,13 @@ def cs_minres(
                 beta_new = norm2(v_new, axis_name)
 
             def rotate_and_update(s_):
-                ts = jnp.ones((), rdt) / beta_new
+                # guarded 1/β: β = 0 is exact (lucky) breakdown — the zero
+                # scale makes s_sin = 0, so res_norm collapses and the next
+                # check reports convergence instead of producing inf/NaN
+                ts = jnp.where(
+                    beta_new > 0, jnp.ones((), rdt) / beta_new,
+                    jnp.zeros((), rdt),
+                )
                 vn = rscale(ts, v_new)
                 wn = rscale(ts, w_tmp) if has_precond else w_tmp
 
@@ -204,11 +228,10 @@ def cs_minres(
 
                 hist = s_.hist
                 if hist_len:
-                    hist = hist.at[s_.its].set(res_norm / rhs_norm)
+                    hist = hist.at[s_.its].set(res_norm / denom)
 
                 return _State(
-                    x=x, v=v, v_new=vn,
-                    w=w if has_precond else s_.w, w_new=wn,
+                    x=x, v=v, v_new=vn, w_new=wn,
                     p=p_new, p_old=s_.p,
                     beta_new=beta_new,
                     c=c, c_old=c_old, s=s_sin, s_old=s_old, eta=eta,
@@ -217,7 +240,7 @@ def cs_minres(
                     status=jnp.where(
                         converged, jnp.int32(Status.CONVERGED), s_.status
                     ),
-                    res=jnp.where(converged, res_norm / rhs_norm, s_.res),
+                    res=jnp.where(converged, res_norm / denom, s_.res),
                     hist=hist,
                 )
 
@@ -240,7 +263,7 @@ def cs_minres(
         )
         res = jnp.where(
             final.status == Status.RUNNING,
-            final.res_norm / rhs_norm,
+            final.res_norm / denom,
             final.res,
         )
         return final.x, make_info(final.its, res, status), final.hist

@@ -136,12 +136,14 @@ def refine(
             r_vec = b - A64.matvec(x)  # the step's single A64 apply
             r_new = norm2(r_vec)
             # stagnation: refinement must contract; κ·ε_f32 too large if not.
-            # A single weak step (factor in (0.5, 1)) can be a loose inner
-            # solve near the f32 floor — declare breakdown only after two
-            # consecutive weak contractions.
+            # A kept-but-weak step (factor in (0.5, 1)) may be a loose inner
+            # solve near the f32 floor — give it one more chance; a fully
+            # REJECTED step would retry from identical state and get the
+            # identical result, so it breaks down immediately.
             improved = r_new < s_.r_norm * jnp.float64(0.5)
             keep = r_new < s_.r_norm  # accept any improvement
             stall = jnp.where(improved, jnp.int32(0), s_.stall + 1)
+            broke = (stall >= 2) | ~keep
             return _State(
                 x=jnp.where(keep, x, s_.x),
                 r=jnp.where(keep, r_vec, s_.r),
@@ -149,7 +151,7 @@ def refine(
                 outer=s_.outer + 1,
                 stall=stall,
                 status=jnp.where(
-                    stall < 2, s_.status, jnp.int32(Status.BREAKDOWN)
+                    broke, jnp.int32(Status.BREAKDOWN), s_.status
                 ),
             )
 
@@ -375,6 +377,8 @@ def refine_complex(
             improved = r_new < s_.r_norm * jnp.float64(0.5)
             keep = r_new < s_.r_norm
             stall = jnp.where(improved, jnp.int32(0), s_.stall + 1)
+            # same rule as refine(): one-step grace only for kept-but-weak
+            broke = (stall >= 2) | ~keep
             return _CState(
                 xr=jnp.where(keep, xr, s_.xr),
                 xi=jnp.where(keep, xi, s_.xi),
@@ -384,7 +388,7 @@ def refine_complex(
                 outer=s_.outer + 1,
                 stall=stall,
                 status=jnp.where(
-                    stall < 2, s_.status, jnp.int32(Status.BREAKDOWN)
+                    broke, jnp.int32(Status.BREAKDOWN), s_.status
                 ),
             )
 
@@ -446,7 +450,9 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
         if inner == "cs_minres":
             # the preconditioned Saunders process needs a REAL symmetric-
             # positive M⁻¹: 1/|d| (see solvers/cs_minres.py docstring)
-            M = _real_abs_jacobi(A32)
+            from ..precond import real_abs_jacobi
+
+            M = real_abs_jacobi(A32)
         else:
             M = A32.jacobi_precond()
     b = np.asarray(b, np.complex128)
@@ -467,31 +473,6 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
         ))
         xr, xi, info = run(*args)
     return np.asarray(xr) + 1j * np.asarray(xi), info
-
-
-def _real_abs_jacobi(A32):
-    """Real |d| Jacobi (1/|diag|) in the operator's own layout — the valid
-    preconditioner shape for the Saunders process (real symmetric positive;
-    Freund's standard choice for complex-symmetric systems)."""
-    import numpy as np
-
-    from ..precond import DiagPrecond
-
-    if hasattr(A32, "inner") and hasattr(A32, "perm"):
-        # Reordered wrapper: solves run in permuted layout — build from the
-        # inner (permuted) operator so the diagonal lands in solve space
-        return _real_abs_jacobi(A32.inner)
-    if hasattr(A32, "diagonal_padded") and hasattr(A32, "re"):
-        import jax.numpy as _jnp
-
-        dr = A32.re.diagonal_padded()
-        di = A32.im.diagonal_padded()
-        d = _jnp.sqrt(dr * dr + di * di)
-        safe = _jnp.where(d == 0, _jnp.ones((), d.dtype), d)
-        return DiagPrecond(diag_inv=_jnp.ones((), d.dtype) / safe)
-    d = np.abs(np.asarray(A32.diagonal()))
-    d[d == 0] = 1.0
-    return DiagPrecond.new(d.astype(np.float32))
 
 
 def _complex_inner_operator(A, data):

@@ -117,3 +117,97 @@ def test_solve_api_cs_minres_jacobi():
                     max_iter=300)
     info.raise_if_error()
     assert np.abs(np.asarray(x) - _x_known(8, 8)).max() < 1e-9
+
+
+def test_cs_minres_precond_residual_is_trustworthy_when_M_is_illconditioned():
+    """Review regression: with a wildly-scaled diagonal the old hybrid
+    tracking (2-norm init contracted by M-norm sines) reported CONVERGED at
+    residuals ~sqrt(κ(M)) above tolerance. The M⁻¹-norm recurrence must
+    produce an actually-converged solution whenever it reports CONVERGED."""
+    import jax.numpy as jnp
+
+    from sprsolve_tpu.errors import Status
+    from sprsolve_tpu.solvers import cs_minres
+
+    n = 200
+    rng = np.random.default_rng(0)
+    scale = np.logspace(-4, 4, n)
+    dense = np.diag(scale * (3.0 + 0.5j))
+    for k in (1, 2):
+        off = (0.2 + 0.1j) * np.sqrt(scale[k:] * scale[:-k])
+        dense += np.diag(off, k) + np.diag(off, -k)  # complex symmetric
+    import scipy.sparse as sps
+
+    A = sp.csr_from_scipy(sps.csr_matrix(dense))
+    x_true = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    b = dense @ x_true
+    M = sp.DiagPrecond.new(np.abs(np.diag(dense)))
+    x, info = cs_minres(A, jnp.asarray(b), M=M, tol=1e-8, max_iter=2000)
+    assert int(info.status) == Status.CONVERGED
+    true_rel = np.linalg.norm(dense @ np.asarray(x) - b) / np.linalg.norm(b)
+    # the M⁻¹-norm criterion may differ from the 2-norm by bounded factors,
+    # but must never be orders of magnitude optimistic (the old bug was 69×)
+    assert true_rel < 1e-6, true_rel
+
+
+def test_cs_minres_precond_gate_is_scale_free():
+    """Review regression: a tiny-magnitude rhs (β² below absolute machine
+    eps) must NOT be rejected as INVALID_PRECONDITIONER."""
+    import jax.numpy as jnp
+
+    from sprsolve_tpu.solvers import cs_minres
+
+    A, rhs, diag = problems.complex_symmetric_grid_with_diag(
+        (8, 8), dtype=np.complex64
+    )
+    M = sp.DiagPrecond.new(np.abs(diag).astype(np.float32))
+    tiny_rhs = (rhs * 1e-6).astype(np.complex64)
+    x, info = cs_minres(A, jnp.asarray(tiny_rhs), M=M, tol=1e-5, max_iter=300)
+    info.raise_if_error()
+    dense = np.asarray(A.todense())
+    r = dense @ np.asarray(x) - tiny_rhs
+    assert np.linalg.norm(r) / np.linalg.norm(tiny_rhs) < 1e-4
+
+
+def test_solve_cs_minres_jacobi_reordered_padded():
+    """Review regression: M='jacobi' for cs_minres on a matrix that is
+    banded only after RCM (optimize() → Reordered(ComplexPaddedDIA)) used
+    to crash in the diagonal lookup; the shared real_abs_jacobi dispatcher
+    must build the padded-layout |d| Jacobi."""
+    import scipy.sparse as sps
+
+    rng = np.random.default_rng(5)
+    n = 240
+    base = sps.diags(
+        [np.full(n - 3, 0.5 + 0.25j), np.full(n, 9.0 + 3.0j),
+         np.full(n - 3, 0.5 + 0.25j)],
+        [-3, 0, 3], format="csr",
+    )
+    p = rng.permutation(n)
+    P = sps.eye(n, format="csr")[p]
+    S = (P @ base @ P.T).tocsr()  # complex symmetric under symmetric perm
+    A = sp.csr_from_scipy(S.astype(np.complex64))
+    x_true = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    b = S.astype(np.complex64) @ x_true
+    x, info = sp.solve(A, b, method="cs_minres", M="jacobi", tol=1e-5,
+                       max_iter=600)
+    info.raise_if_error()
+    r = S @ np.asarray(x) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4
+
+
+def test_solve_cs_minres_rejects_invalid_M_classes():
+    """Complex-diagonal Jacobi and triangular-sweep applies are not valid
+    Saunders preconditioners — rejected up front."""
+    import pytest
+
+    from sprsolve_tpu.errors import InvalidPreconditioner
+
+    A, rhs, diag = problems.complex_symmetric_grid_with_diag((8, 8))
+    with pytest.raises(InvalidPreconditioner):
+        sp.solve(A, rhs, method="cs_minres", M=sp.DiagPrecond.new(diag),
+                 tol=1e-8, max_iter=100)
+    with pytest.raises(InvalidPreconditioner):
+        sp.solve(A, rhs, method="cs_minres", M="ilu0", tol=1e-8, max_iter=100)

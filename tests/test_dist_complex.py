@@ -117,3 +117,27 @@ def test_distributed_complex_bicgstab_and_cs_minres():
         info2.raise_if_error()
         r2 = dense @ np.asarray(x2) - rhs
         assert np.linalg.norm(r2) / np.linalg.norm(rhs) < 1e-4
+
+
+def test_distributed_flat_complex_jacobi_is_relaid():
+    """Review regression: a flat (n,)-planes ComplexDiagPrecond (the
+    natural host-side build) must be re-laid into the kernel's 2-D padded
+    layout by distributed_solve, with inert 1+0i pad reciprocals."""
+    from sprsolve_tpu.precond import ComplexDiagPrecond
+
+    A, rhs = _complex_banded(16)
+    dia = A.to_dia()
+    op = DistComplexPaddedDIA.from_dia(dia, 4, lanes=128, block_rows=8)
+    mesh = _mesh(4)
+    dense = np.asarray(A.todense())
+    M_flat = ComplexDiagPrecond.new(np.asarray(dense.diagonal()))
+    assert M_flat.inv_re.ndim == 1
+
+    with debug.interpret_kernels():
+        x, info = distributed_solve(
+            sp.bicgstab, op, jnp.asarray(rhs), M=M_flat,
+            tol=1e-5, max_iter=300, mesh=mesh,
+        )
+        info.raise_if_error()
+    r = dense @ np.asarray(x) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-4
