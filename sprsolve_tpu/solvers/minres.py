@@ -17,6 +17,16 @@ Numerical structure replicated exactly for iteration parity:
   check — iteration counts are 0-based (first pass returns 0).
 - Preconditioned variant (M ≈ (CᴴC)⁻¹ apply): β² = rᴴ·M⁻¹r positivity gate
   ``re < ε || im > ε·re`` → InvalidPreconditioner (``:235-244,278-287``).
+
+Residual-semantics caveat (REFERENCE PARITY, kept deliberately): the
+preconditioned variant seeds the recurrence with the 2-norm ‖r₀‖ but the
+Givens sines contract the *transformed* system's residual, so the reported
+estimate mixes norms and can deviate from the true relative residual by up
+to ~√κ(M) on badly scaled preconditioners — exactly as in
+``src/minres.rs:178-341``, whose iteration counts these tests pin.  For a
+norm-consistent estimate use :func:`~sprsolve_tpu.solvers.cs_minres`'s
+preconditioned form (which tracks ‖r‖_{M⁻¹} throughout) as the model, or
+verify with a true-residual check / :func:`~sprsolve_tpu.solvers.refine`.
 """
 
 from __future__ import annotations
