@@ -122,6 +122,16 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
         elif isinstance(A, CSR):
             op = _optimize(A)
 
+    if method == "cs_minres" and isinstance(M, str) and M != "jacobi":
+        # gate the string builders BEFORE they run: an ILU0/IC0 sweep apply
+        # is nonsymmetric and a block-Jacobi of a complex-symmetric matrix
+        # has complex blocks — neither is a valid Saunders preconditioner
+        raise InvalidPreconditioner(
+            "cs_minres's preconditioned form needs a REAL symmetric-"
+            "positive M⁻¹; of the string builders only M='jacobi' "
+            "(→ 1/|d|) qualifies"
+        )
+
     if isinstance(M, str) and M in ("ilu0", "ic0", "block_jacobi"):
         src = A.to_csr() if isinstance(A, CSC) else A
         if not isinstance(src, CSR):
@@ -158,14 +168,19 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
             # real_abs_jacobi returns M in the operator's own (possibly
             # padded) layout — skip the generic relay below
             return op, M, hasattr(op, "pad_vec")
+        from .precond import BlockJacobiPrecond
+
         if isinstance(M, ComplexDiagPrecond) or (
             isinstance(M, _DP) and jnp.iscomplexobj(M.diag_inv)
-        ) or isinstance(M, (ILU0Precond, IC0Precond)):
+        ) or isinstance(M, (ILU0Precond, IC0Precond)) or (
+            isinstance(M, BlockJacobiPrecond)
+            and jnp.iscomplexobj(M.inv_blocks)
+        ):
             raise InvalidPreconditioner(
                 "cs_minres's preconditioned form needs a REAL symmetric-"
-                "positive M⁻¹ (a complex-diagonal Jacobi or a nonsymmetric "
-                "ILU0/IC0 sweep apply is not one); use M='jacobi' or a real "
-                "SPD operator"
+                "positive M⁻¹ (a complex diagonal/block Jacobi or a "
+                "nonsymmetric ILU0/IC0 sweep apply is not one); use "
+                "M='jacobi' or a real SPD operator"
             )
 
     padded = hasattr(op, "pad_vec")

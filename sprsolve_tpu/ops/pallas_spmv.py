@@ -545,6 +545,10 @@ class PaddedDIA:
     preserved by all of them.
     """
 
+    # BiCGStab compiles its ρ-restart as a nested-loop exit for kernel
+    # operators (removes per-iteration vector copies; see solvers/bicgstab)
+    _prefers_nested_restart = True
+
     bands3: jax.Array         # possibly narrow storage — see ``vdtype``
     offsets: Tuple[int, ...]
     n: int                    # logical length
@@ -774,6 +778,8 @@ class ComplexPaddedDIA:
     planes (Pallas TPU has no native complex path — SURVEY.md §7
     "Complex support in Pallas").
     """
+
+    _prefers_nested_restart = True
 
     re: PaddedDIA
     im: PaddedDIA

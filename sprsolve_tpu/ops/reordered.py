@@ -47,6 +47,11 @@ class Reordered:
         )
 
     @property
+    def _prefers_nested_restart(self):
+        # wrapper is transparent to the solver's loop-structure choice
+        return getattr(self.inner, "_prefers_nested_restart", False)
+
+    @property
     def shape(self):
         return self.inner.shape
 

@@ -49,6 +49,8 @@ from ..sparse.containers import DIA
 class DistPaddedDIA:
     """Row-sharded banded operator executing the Pallas DIA kernel per shard."""
 
+    _prefers_nested_restart = True  # see solvers/bicgstab.py
+
     bands3: jax.Array          # (D_diags, D*r_local, LANES) global / (D_diags, r_local, LANES) local
     offsets: Tuple[int, ...]
     n: int                     # logical system size
@@ -261,6 +263,8 @@ class DistComplexPaddedDIA:
     vectors are complex inside shard_map.
     """
 
+    _prefers_nested_restart = True  # see solvers/bicgstab.py
+
     re: DistPaddedDIA
     im: DistPaddedDIA
 
@@ -340,6 +344,35 @@ class DistComplexPaddedDIA:
         return (yr + 1j * yi).astype(body.dtype), (dre + 1j * dim).astype(
             body.dtype
         )
+
+    def matvec_wdot(self, body: jax.Array, w_body: jax.Array):
+        """Fused two-plane SpMV + LOCAL partials of conj(w)·(A·x) and
+        ‖A·x‖² — the distributed mirror of ``ComplexPaddedDIA.matvec_wdot``
+        (BiCGStab's reduction barriers ride the SpMV pass). w needs no halo
+        exchange (the dots read body rows only); both w streams are dropped
+        when w is the input. Solvers psum the partials via ``mv_wdot``."""
+        from ..ops.pallas_spmv import _dia_complex_wdot_pallas_call
+
+        p = self.re
+        xr_ext, xi_ext = self._exchange_planes(body)
+        w_is_x = w_body is body
+        extra = ()
+        if not w_is_x:
+            if self.re.hr:
+                zh = jnp.zeros((self.re.hr, self.re.lanes),
+                               jnp.real(w_body).dtype)
+                wr = jnp.concatenate([zh, jnp.real(w_body), zh], axis=0)
+                wi = jnp.concatenate([zh, jnp.imag(w_body), zh], axis=0)
+            else:
+                wr, wi = jnp.real(w_body), jnp.imag(w_body)
+            extra = (wr, wi)
+        yr, yi, wdr, wdi, yd = _dia_complex_wdot_pallas_call(
+            p.bands3, self.im.bands3, xr_ext, xi_ext,
+            p.offsets, p.hr, p.lanes, p.block_rows, *extra,
+            has_dinv=False, w_is_x=w_is_x,
+        )
+        y = (yr + 1j * yi).astype(body.dtype)
+        return y, (wdr + 1j * wdi).astype(body.dtype), yd.astype(body.dtype)
 
     def matvec_conj_dot(self, body: jax.Array):
         """Fused (A·conj(x), conj(x)·A·conj(x)) local partial — the Saunders

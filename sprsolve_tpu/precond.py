@@ -595,12 +595,16 @@ def real_abs_jacobi(op) -> "DiagPrecond":
         return real_abs_jacobi(op.inner)
     if hasattr(op, "abs_jacobi_precond"):
         return op.abs_jacobi_precond()
-    if hasattr(op, "diagonal_padded") and hasattr(op, "re"):
-        # two-plane padded operator: |d| from the re/im planes (no complex
-        # array outside a compiled program — complex-buffer-safe)
-        dr = op.re.diagonal_padded()
-        di = op.im.diagonal_padded()
-        d = jnp.sqrt(dr * dr + di * di)
+    if hasattr(op, "diagonal_padded"):
+        if hasattr(op, "re"):
+            # two-plane padded operator: |d| from the re/im planes (no
+            # complex array outside a compiled program)
+            dr = op.re.diagonal_padded()
+            di = op.im.diagonal_padded()
+            d = jnp.sqrt(dr * dr + di * di)
+        else:
+            # real padded operator (PaddedDIA): |d| of the padded diagonal
+            d = jnp.abs(op.diagonal_padded())
         safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
         return DiagPrecond(diag_inv=jnp.ones((), d.dtype) / safe)
     if hasattr(op, "re") and hasattr(op.re, "diagonal"):

@@ -192,7 +192,9 @@ def bicgstab(
             #   structure measured 30% SLOWER (129 vs 94-100 µs/iter on the
             #   XLA-DIA path, A/B on chip) — keep the single loop with the
             #   in-body cond.
-            nested_restart = hasattr(A, "matvec_wdot")
+            nested_restart = bool(
+                getattr(A, "_prefers_nested_restart", False)
+            )
 
             def cond_outer(s_):
                 return (
@@ -205,6 +207,17 @@ def bicgstab(
                 # ρ-breakdown predicate (src/bicg_stab.rs:131-133); ρ of the
                 # carried vectors was computed at the previous tail
                 return jnp.abs(s_.rho_next) < s_.r0_norm_tol
+
+            def restart_values(x):
+                # the ρ-breakdown restart recompute (src/bicg_stab.rs:131-145)
+                # shared verbatim by BOTH loop compilations so they can never
+                # diverge: r and r0 reset to A·x − b, ρ to ‖r‖², the restart
+                # tolerance re-derived
+                r_r = axpy(-jnp.ones((), T), b, A.matvec(x))
+                rn = norm2(r_r, axis_name)
+                rho_r = (rn * rn).astype(T)
+                tol_r = jnp.real(rho_r) * eps * eps
+                return r_r, rho_r, tol_r
 
             def cond_inner(s_):
                 return cond_outer(s_) & ~restart_needed(s_)
@@ -226,14 +239,10 @@ def bicgstab(
                         # restart handled by the outer loop
                         r_, r0_, r0_norm_tol = s_.r, s_.r0, s_.r0_norm_tol
                     else:
-                        # in-body ρ-breakdown restart (src/bicg_stab.rs:131-145)
-                        # carrying only the 4-tuple the branch touches
+                        # in-body restart, carrying only the 4-tuple the
+                        # branch touches (shared recompute: restart_values)
                         def restart(op):
-                            rho_, rx, r0x, tolx = op
-                            r_r = axpy(-jnp.ones((), T), b, A.matvec(s_.x))
-                            rn = norm2(r_r, axis_name)
-                            rho_r = (rn * rn).astype(T)
-                            tol_r = jnp.real(rho_r) * eps * eps
+                            r_r, rho_r, tol_r = restart_values(s_.x)
                             return rho_r, r_r, r_r, tol_r
 
                         rho, r_, r0_, r0_norm_tol = lax.cond(
@@ -299,10 +308,7 @@ def bicgstab(
                 # ρ satisfies |ρ| = ‖r‖² ≥ ‖r‖²ε², so the inner loop always
                 # re-enters (no restart livelock).
                 def restart(s_):
-                    r_r = axpy(-jnp.ones((), T), b, A.matvec(s_.x))
-                    rn = norm2(r_r, axis_name)
-                    rho_r = (rn * rn).astype(T)
-                    tol_r = jnp.real(rho_r) * eps * eps
+                    r_r, rho_r, tol_r = restart_values(s_.x)
                     return s_._replace(
                         r=r_r, r0=r_r, rho_next=rho_r, r0_norm_tol=tol_r
                     )

@@ -98,14 +98,20 @@ def cs_minres(
     one_t = jnp.ones((), T)
     zero_r = jnp.zeros((), rdt)
 
-    def _beta_gate(beta_new2):
+    def _beta_gate(beta_new2, noise_scale):
         # β² = v̂ᴴM⁻¹v̂ must be real positive for a valid real-SPD M⁻¹.
-        # Scale-free: compare the imaginary part RELATIVE to the real part
-        # (an absolute-eps test falsely rejects small-magnitude systems),
-        # and reject strictly negative real parts; β² ≈ 0 is the lucky-
-        # breakdown case and is handled by the guarded 1/β below.
+        # The sign/imag tests are SELF-relative (|im| > ε·|re|, re < 0) so
+        # they work at any absolute magnitude — but they are suppressed when
+        # |β²| sits inside the noise floor of ``noise_scale`` (the previous
+        # step's β², or the rhs M-norm² at init): there β² is pure
+        # cancellation noise (lucky breakdown), its sign/phase carry no
+        # information, and the guarded 1/β below absorbs it (s_sin → 0 →
+        # the residual recurrence collapses to convergence).
         re2 = jnp.real(beta_new2)
-        return (re2 < 0) | (jnp.abs(jnp.imag(beta_new2)) > eps * jnp.abs(re2))
+        significant = jnp.abs(beta_new2) > eps * noise_scale
+        return significant & (
+            (re2 < 0) | (jnp.abs(jnp.imag(beta_new2)) > eps * jnp.abs(re2))
+        )
 
     def main(rhs_norm):
         v_new = axpy(-one_t, A.matvec(x0), b)  # r₁ = b − A·x
@@ -122,8 +128,17 @@ def cs_minres(
             beta_b2 = conj_dot(b, wb, axis_name)
             w_new = M.matvec(v_new)
             beta_new2 = conj_dot(v_new, w_new, axis_name)
-            bad0 = _beta_gate(beta_new2) | _beta_gate(beta_b2)
-            denom = jnp.sqrt(jnp.maximum(jnp.real(beta_b2), 0))
+            # the rhs gate is self-relative — for a valid SPD M⁻¹ and b ≠ 0
+            # (guaranteed by the caller guard) its real part must dominate;
+            # re(bᴴM⁻¹b) ≤ 0 also covers the semidefinite-M case where the
+            # M-norm denominator would vanish (threshold 0, res = inf)
+            re_b = jnp.real(beta_b2)
+            bad0 = (
+                _beta_gate(beta_new2, re_b)
+                | (re_b <= 0)
+                | (jnp.abs(jnp.imag(beta_b2)) > eps * re_b)
+            )
+            denom = jnp.sqrt(jnp.maximum(re_b, 0))
             beta_new0 = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
             res_norm0 = beta_new0
             ts = jnp.where(
@@ -137,7 +152,14 @@ def cs_minres(
             res_norm0 = norm2(v_new, axis_name)
             denom = rhs_norm
             beta_new0 = res_norm0
-            v1 = rscale(jnp.ones((), rdt) / beta_new0, v_new)
+            # guarded init division: a warm start at the exact solution has
+            # r₁ = 0 → β₁ = 0; the early-converged exit below returns before
+            # any iteration, and the zero scale keeps NaN out of the trace
+            ts0 = jnp.where(
+                beta_new0 > 0, jnp.ones((), rdt) / beta_new0,
+                jnp.zeros((), rdt),
+            )
+            v1 = rscale(ts0, v_new)
             w1 = zeros
         beta_one = beta_new0
         threshold = tol * denom
@@ -181,7 +203,7 @@ def cs_minres(
                 # (scale-free form — see _beta_gate); the reference returns
                 # Err before touching x, so the rotation and update are
                 # skipped on the bad branch.
-                bad = _beta_gate(beta_new2)
+                bad = _beta_gate(beta_new2, beta * beta)
                 beta_new = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
             else:
                 bad = jnp.zeros((), jnp.bool_)
@@ -255,18 +277,32 @@ def cs_minres(
                 )
             return rotate_and_update(s_)
 
-        final = lax.while_loop(cond_fn, body_fn, st0)
-        status = jnp.where(
-            final.status == Status.RUNNING,
-            jnp.int32(Status.INSUFFICIENT_ITER),
-            final.status,
+        def run(_):
+            final = lax.while_loop(cond_fn, body_fn, st0)
+            status = jnp.where(
+                final.status == Status.RUNNING,
+                jnp.int32(Status.INSUFFICIENT_ITER),
+                final.status,
+            )
+            res = jnp.where(
+                final.status == Status.RUNNING,
+                final.res_norm / denom,
+                final.res,
+            )
+            return final.x, make_info(final.its, res, status), final.hist
+
+        def early(_):
+            # already converged at entry (e.g. warm start at the solution):
+            # return before the first 1/β — denom > 0 whenever ¬bad0
+            return (
+                x0,
+                make_info(0, res_norm0 / denom, Status.CONVERGED),
+                jnp.full(hist_len, jnp.nan, dtype=rdt),
+            )
+
+        return lax.cond(
+            (res_norm0 <= threshold) & ~bad0, early, run, None
         )
-        res = jnp.where(
-            final.status == Status.RUNNING,
-            final.res_norm / denom,
-            final.res,
-        )
-        return final.x, make_info(final.its, res, status), final.hist
 
     from .bicgstab import _guard3
 

@@ -141,3 +141,49 @@ def test_distributed_flat_complex_jacobi_is_relaid():
         info.raise_if_error()
     r = dense @ np.asarray(x) - rhs
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-4
+
+
+def test_dist_complex_wdot_matches_composed():
+    """Fused per-shard complex w-dot (BiCGStab's barriers) vs the composed
+    matvec + conj_dot oracle, including the w = x dedup path."""
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from sprsolve_tpu.vecalg import conj_dot
+
+    A, rhs = _complex_banded(16)
+    dia = A.to_dia()
+    op = DistComplexPaddedDIA.from_dia(dia, 4, lanes=128, block_rows=8)
+    rng = np.random.default_rng(7)
+    mk = lambda s: (rng.standard_normal(256)
+                    + 1j * rng.standard_normal(256)).astype(np.complex64)
+    x, w = mk(0), mk(1)
+    mesh = _mesh(4)
+
+    def fused(o, v, wv):
+        y, wd, yd = o.matvec_wdot(v, wv)
+        y2, wd2, yd2 = o.matvec_wdot(v, v)  # dedup path
+        return [y, lax.psum(wd, "rows"), lax.psum(yd, "rows"),
+                lax.psum(wd2, "rows")]
+
+    with debug.interpret_kernels():
+        f = jax.jit(jax.shard_map(
+            fused, mesh=mesh,
+            in_specs=(op.pspec("rows"), P("rows"), P("rows")),
+            out_specs=[P("rows"), P(), P(), P()],
+            check_vma=False,
+        ))
+        y2d, wd, yd, wd_x = f(op, op.pad_vec(jnp.asarray(x)),
+                              op.pad_vec(jnp.asarray(w)))
+    want_y = np.asarray(A.matvec(jnp.asarray(x)))
+    got_y = np.asarray(jax.device_get(y2d)).reshape(-1)[:256]
+    np.testing.assert_allclose(got_y, want_y, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        complex(wd), np.vdot(w, want_y), rtol=2e-4, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        complex(yd), np.vdot(want_y, want_y), rtol=2e-4, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        complex(wd_x), np.vdot(x, want_y), rtol=2e-4, atol=2e-3
+    )

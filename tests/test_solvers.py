@@ -98,3 +98,31 @@ def test_bicgstab_residual_history():
     assert np.all(np.isnan(h[k + 1 :]))           # untouched beyond
     assert h[k] <= 1e-14                          # last recorded == converged check
     assert h[0] == 1.0                            # r0 = -b with x0=0 → rel res 1
+
+
+def test_nested_restart_marker_covers_kernel_operators():
+    """BiCGStab picks its restart compilation from _prefers_nested_restart:
+    every Pallas-backed operator class must carry the marker, wrappers must
+    forward it, and plain XLA containers must not have it."""
+    import numpy as np
+
+    from sprsolve_tpu.ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
+    from sprsolve_tpu.ops.reordered import Reordered
+    from sprsolve_tpu.parallel.pallas_dist import (
+        DistComplexPaddedDIA,
+        DistPaddedDIA,
+    )
+    from sprsolve_tpu.sparse.containers import CSR, DIA, ELL
+    from sprsolve_tpu.sparse.bsr import BSR, ComplexBSR
+
+    for cls in (PaddedDIA, ComplexPaddedDIA, DistPaddedDIA,
+                DistComplexPaddedDIA):
+        assert getattr(cls, "_prefers_nested_restart", False), cls
+    for cls in (CSR, DIA, ELL, BSR, ComplexBSR):
+        assert not getattr(cls, "_prefers_nested_restart", False), cls
+
+    A = problems.grid_laplacian_dirichlet((8, 8), dtype=np.float32)
+    p = PaddedDIA.from_dia(A.to_dia(), lanes=128, block_rows=8)
+    wrapped = Reordered.wrap(p, np.arange(64))
+    assert wrapped._prefers_nested_restart
+    assert not Reordered.wrap(A.to_dia(), np.arange(64))._prefers_nested_restart
