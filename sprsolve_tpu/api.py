@@ -158,12 +158,8 @@ def _prepare_op_M(A, method: str, M, optimize_layout: bool):
         from .precond import ComplexDiagPrecond, real_abs_jacobi
 
         if isinstance(M, str):
-            if M != "jacobi":
-                raise InvalidPreconditioner(
-                    "cs_minres's preconditioned form needs a REAL "
-                    "symmetric-positive M⁻¹; of the string builders only "
-                    "M='jacobi' (→ 1/|d|) qualifies"
-                )
+            # only 'jacobi' reaches here (other strings rejected above,
+            # before their builders could run)
             M = real_abs_jacobi(op if hasattr(op, "matvec") else A)
             # real_abs_jacobi returns M in the operator's own (possibly
             # padded) layout — skip the generic relay below

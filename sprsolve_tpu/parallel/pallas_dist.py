@@ -141,6 +141,15 @@ class DistPaddedDIA:
         )
         return jnp.concatenate([top, body, bottom], axis=0)
 
+    def _zero_halo_ext(self, v: jax.Array) -> jax.Array:
+        """(r_local, lanes) → kernel window shape with ZERO halo rows —
+        for operands whose dots only read body rows (the w vectors of the
+        fused w-dot kernels), which need no neighbor exchange."""
+        if self.hr == 0:
+            return v
+        zh = jnp.zeros((self.hr, self.lanes), v.dtype)
+        return jnp.concatenate([zh, v, zh], axis=0)
+
     def matvec(self, body: jax.Array) -> jax.Array:
         return _dia_pallas_call(
             self.bands3,
@@ -186,15 +195,10 @@ class DistPaddedDIA:
                 self.block_rows,
                 w_is_x=True,
             )
-        if self.hr:
-            zh = jnp.zeros((self.hr, self.lanes), w_body.dtype)
-            w_ext = jnp.concatenate([zh, w_body, zh], axis=0)
-        else:
-            w_ext = w_body
         return _dia_wdot_pallas_call(
             self.bands3,
             self._exchange_halo(body),
-            w_ext,
+            self._zero_halo_ext(w_body),
             self.offsets,
             self.hr,
             self.lanes,
@@ -358,14 +362,10 @@ class DistComplexPaddedDIA:
         w_is_x = w_body is body
         extra = ()
         if not w_is_x:
-            if self.re.hr:
-                zh = jnp.zeros((self.re.hr, self.re.lanes),
-                               jnp.real(w_body).dtype)
-                wr = jnp.concatenate([zh, jnp.real(w_body), zh], axis=0)
-                wi = jnp.concatenate([zh, jnp.imag(w_body), zh], axis=0)
-            else:
-                wr, wi = jnp.real(w_body), jnp.imag(w_body)
-            extra = (wr, wi)
+            extra = (
+                self.re._zero_halo_ext(jnp.real(w_body)),
+                self.re._zero_halo_ext(jnp.imag(w_body)),
+            )
         yr, yi, wdr, wdi, yd = _dia_complex_wdot_pallas_call(
             p.bands3, self.im.bands3, xr_ext, xi_ext,
             p.offsets, p.hr, p.lanes, p.block_rows, *extra,

@@ -595,6 +595,13 @@ def real_abs_jacobi(op) -> "DiagPrecond":
         return real_abs_jacobi(op.inner)
     if hasattr(op, "abs_jacobi_precond"):
         return op.abs_jacobi_precond()
+    if hasattr(op, "diagonal_global"):
+        # real distributed padded operator (DistPaddedDIA): global 2-D
+        # diagonal layout (the complex variant is served by its own
+        # abs_jacobi_precond above)
+        d = jnp.abs(op.diagonal_global())
+        safe = jnp.where(d == 0, jnp.ones((), d.dtype), d)
+        return DiagPrecond(diag_inv=jnp.ones((), d.dtype) / safe)
     if hasattr(op, "diagonal_padded"):
         if hasattr(op, "re"):
             # two-plane padded operator: |d| from the re/im planes (no

@@ -100,17 +100,19 @@ def cs_minres(
 
     def _beta_gate(beta_new2, noise_scale):
         # β² = v̂ᴴM⁻¹v̂ must be real positive for a valid real-SPD M⁻¹.
-        # The sign/imag tests are SELF-relative (|im| > ε·|re|, re < 0) so
-        # they work at any absolute magnitude — but they are suppressed when
-        # |β²| sits inside the noise floor of ``noise_scale`` (the previous
-        # step's β², or the rhs M-norm² at init): there β² is pure
-        # cancellation noise (lucky breakdown), its sign/phase carry no
-        # information, and the guarded 1/β below absorbs it (s_sin → 0 →
-        # the residual recurrence collapses to convergence).
+        # Negative real parts flag INVALID whenever they are significant
+        # against the fp noise floor of the computation (ε · noise_scale,
+        # where noise_scale is the previous step's β², or the rhs M-norm²
+        # at init — the magnitude of the terms the dot sums).  The imag
+        # test is relative to max(|re|, noise_scale) so it neither trips on
+        # cancellation noise at lucky breakdown nor misses a genuinely
+        # complex β² at problem scale.  β² within ±ε·noise_scale of zero
+        # passes and is absorbed by the guarded 1/β below (s_sin → 0 → the
+        # residual recurrence collapses to convergence).
         re2 = jnp.real(beta_new2)
-        significant = jnp.abs(beta_new2) > eps * noise_scale
-        return significant & (
-            (re2 < 0) | (jnp.abs(jnp.imag(beta_new2)) > eps * jnp.abs(re2))
+        return (re2 < -eps * noise_scale) | (
+            jnp.abs(jnp.imag(beta_new2))
+            > eps * jnp.maximum(jnp.abs(re2), noise_scale)
         )
 
     def main(rhs_norm):
@@ -140,7 +142,10 @@ def cs_minres(
             )
             denom = jnp.sqrt(jnp.maximum(re_b, 0))
             beta_new0 = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
-            res_norm0 = beta_new0
+            # conservative estimate |β²|^½ (≈ β₁ for valid M): a clamped
+            # negative β² then reports its magnitude instead of 0.0 and can
+            # never trigger the early-converged exit spuriously
+            res_norm0 = jnp.sqrt(jnp.abs(beta_new2))
             ts = jnp.where(
                 beta_new0 > 0, jnp.ones((), rdt) / beta_new0,
                 jnp.zeros((), rdt),
@@ -294,11 +299,10 @@ def cs_minres(
         def early(_):
             # already converged at entry (e.g. warm start at the solution):
             # return before the first 1/β — denom > 0 whenever ¬bad0
-            return (
-                x0,
-                make_info(0, res_norm0 / denom, Status.CONVERGED),
-                jnp.full(hist_len, jnp.nan, dtype=rdt),
-            )
+            hist = jnp.full(hist_len, jnp.nan, dtype=rdt)
+            if hist_len:
+                hist = hist.at[0].set(res_norm0 / denom)
+            return x0, make_info(0, res_norm0 / denom, Status.CONVERGED), hist
 
         return lax.cond(
             (res_norm0 <= threshold) & ~bad0, early, run, None

@@ -273,3 +273,29 @@ def test_solve_cs_minres_jacobi_on_real_banded():
     # iterations (documented MINRES-family behavior); sanity bound only —
     # the crash regression above is the binding assertion
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 5e-3
+
+
+def test_cs_minres_indefinite_M_never_reports_false_convergence():
+    """Third-review regression: an indefinite 'preconditioner' with a warm
+    start near the solution must never return CONVERGED with residual 0.0.
+    In f64 the significant-negative β² gate flags INVALID_PRECONDITIONER;
+    at any precision the conservative |β²|^½ residual estimate keeps the
+    early-converged exit from firing on clamped-negative β²."""
+    import jax.numpy as jnp
+
+    from sprsolve_tpu.errors import Status
+    from sprsolve_tpu.solvers import cs_minres
+
+    n = 100
+    A = sp.csr_from_dense(np.eye(n, dtype=np.complex128))
+    dinv = np.ones(n)
+    dinv[0] = -1.0  # indefinite
+    M = sp.DiagPrecond(diag_inv=jnp.asarray(dinv))
+    b = jnp.ones(n, jnp.complex128)
+    x0 = b + 3e-3 * jnp.eye(n, 1, dtype=jnp.complex128).ravel()  # near-solution
+    x, info = cs_minres(A, b, x0, M=M, tol=1e-6, max_iter=50)
+    st = int(info.status)
+    assert st != Status.CONVERGED or float(info.residual) > 1e-6, (
+        st, float(info.residual)
+    )
+    assert st == Status.INVALID_PRECONDITIONER, st
