@@ -225,7 +225,10 @@ def solve(
 
     ``M``: a preconditioner object, or one of the strings ``"jacobi"``,
     ``"block_jacobi"``, ``"ilu0"``, ``"ic0"``, ``"amg"`` (built from the
-    matrix here).  See ``docs/preconditioners.md``.
+    matrix here).  For ``method="cs_minres"`` only ``"jacobi"`` (which
+    builds the real 1/|d| the Saunders process requires) or a real
+    symmetric-positive operator is accepted.  See
+    ``docs/preconditioners.md``.
 
     This is the high-level entry a user of the reference's
     ``BiCGStab::new(...).solve(...)`` flow reaches for when they don't care
