@@ -467,6 +467,55 @@ def main():
             "cs_minres c64 1M rows (damped complex-symmetric, |d| Jacobi)",
             info_pcs, 1e-4, t_pcs,
         )
+
+        # COCG: one two-plane SpMV per iteration + the complex Jacobi —
+        # the cheap complex-symmetric iteration (beyond the reference).
+        # Its breakdown guard is terminal (no ρ-restart), so the forced-
+        # iteration (tol=0) trick exits early once ρ underflows; time
+        # CHAINED CONVERGED solves instead, rhs coupled to the previous
+        # solution so the chain cannot be hoisted or memoized.
+        _, _, info_cocg = jax.jit(
+            lambda: with_real_planes(sp.cocg)(
+                cd_op, bdr, bdi, M=M_cj, tol=1e-4, max_iter=400
+            )
+        )()
+        it_cocg = max(int(info_cocg.iterations), 1)
+
+        @jax.jit
+        def cocg_chain(nit, bump):
+            b_r = bdr * (jnp.float32(1.0) + bump)
+
+            def body(_, carry):
+                xr, xi = carry
+                rr = b_r + xr * jnp.float32(1e-3)
+                ri = bdi + xi * jnp.float32(1e-3)
+                xr2, xi2, _ = with_real_planes(sp.cocg)(
+                    cd_op, rr, ri, M=M_cj, tol=1e-4, max_iter=400
+                )
+                return xr2, xi2
+
+            return jax.lax.fori_loop(
+                0, nit, body, (jnp.zeros_like(bdr), jnp.zeros_like(bdi)),
+                unroll=1,
+            )
+
+        def cocg_run(n, k):
+            out = cocg_chain(jnp.int32(n), jnp.float32(k * 2**-16))
+            float(out[0].ravel()[0])
+
+        n_solves = 40
+        cocg_run(n_solves, 0)
+        ts_c = []
+        for k in range(2):
+            t0 = time.perf_counter()
+            cocg_run(n_solves, k + 1)
+            ts_c.append(time.perf_counter() - t0)
+        t_solve = max((min(ts_c) - measure_rtt()) / n_solves, 1e-9)
+        solve_report(
+            "cocg c64 1M rows (damped complex-symmetric, complex Jacobi; "
+            "chained-solve timing)",
+            info_cocg, 1e-4, t_solve / it_cocg,
+        )
     except Exception as e:
         log(f"complex bicgstab 1M bench unavailable: {type(e).__name__}: {e}")
 

@@ -41,6 +41,7 @@ from .solvers import (
     block_cg,
     color_masks,
     cg,
+    cocg,
     cs_minres,
     gauss_seidel,
     gauss_seidel_redblack,
@@ -79,6 +80,7 @@ __all__ = [
     "minres",
     "refine",
     "refine_solve",
+    "cocg",
     "cs_minres",
     "with_real_planes",
     "gauss_seidel",

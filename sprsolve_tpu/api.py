@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .errors import IncompatibleMatrixFormat
 from .ops.operator import as_operator
-from .solvers import bicgstab, cg, cs_minres, gauss_seidel, gmres, idrs, lsqr, minres
+from .solvers import bicgstab, cg, cocg, cs_minres, gauss_seidel, gmres, idrs, lsqr, minres
 from .sparse.containers import CSR, ELL
 
 
@@ -48,6 +48,7 @@ def _run(fn, A, b, x, max_iter, tol, M=None):
 _SOLVERS = {
     "bicgstab": bicgstab,
     "cg": cg,
+    "cocg": cocg,
     "minres": minres,
     "cs_minres": cs_minres,
     "gmres": gmres,
@@ -219,7 +220,8 @@ def solve(
     LinearOperator (used as-is).
 
     ``method``: ``"bicgstab"`` (default), ``"cg"``, ``"minres"``,
-    ``"cs_minres"``, ``"gmres"`` (accepts ``restart=``), ``"idrs"``
+    ``"cs_minres"``, ``"cocg"`` (complex-symmetric CG; takes the complex
+    Jacobi), ``"gmres"`` (accepts ``restart=``), ``"idrs"``
     (accepts ``s=``), ``"lsqr"`` (rectangular; accepts ``damp=``/``AH=``).
     See ``docs/solvers.md`` for the selection guide.
 

@@ -12,6 +12,7 @@ from .lsqr import lsqr
 from .minres import minres
 from .planes import with_real_planes
 from .refine import refine, refine_solve
+from .cocg import cocg
 from .cs_minres import cs_minres
 from .gauss_seidel import gauss_seidel
 from .redblack import (
@@ -36,6 +37,7 @@ __all__ = [
     "with_real_planes",
     "refine",
     "refine_solve",
+    "cocg",
     "cs_minres",
     "gauss_seidel",
     "gauss_seidel_redblack",
