@@ -422,15 +422,15 @@ def _refine_solve_complex(A, b, *, inner, M, tol, max_refine, inner_tol,
     exist only on the host and inside the compiled program."""
     import numpy as np
 
-    from . import bicgstab, cs_minres
+    from . import bicgstab, cocg, cs_minres
     from ..ops.pallas_spmv import ComplexPaddedDIA
     from ..sparse.containers import CSR, DIA
 
-    solvers = {"cs_minres": cs_minres, "bicgstab": bicgstab}
+    solvers = {"cs_minres": cs_minres, "bicgstab": bicgstab, "cocg": cocg}
     if inner not in solvers:
         raise IncompatibleMatrixFormat(
-            "refine inner solver must be 'cs_minres' or 'bicgstab' for "
-            f"complex systems (got {inner!r})"
+            "refine inner solver must be 'cocg', 'cs_minres' or 'bicgstab' "
+            f"for complex systems (got {inner!r})"
         )
     inner_fn = solvers[inner]
     data = np.asarray(A.data, np.complex128)

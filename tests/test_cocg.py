@@ -140,3 +140,14 @@ def test_cocg_distributed():
         info.raise_if_error()
     r = dense @ np.asarray(x) - rhs
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-4
+
+
+def test_refine_complex_with_cocg_inner():
+    """c128 refinement with COCG inner solves (the cheapest complex inner:
+    one SpMV per inner iteration)."""
+    A, rhs, _ = _problem()
+    x, info = sp.refine_solve(A, rhs, inner="cocg", M="jacobi", tol=1e-12)
+    info.raise_if_error()
+    dense = np.asarray(A.todense())
+    r = dense @ np.asarray(x) - rhs
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-11
