@@ -69,6 +69,21 @@ print(f"{'GMRES(32)':27s} {int(info.iterations):4d} iters  rel-res {relres(A, x,
 x, info = sp.solve(A, b, method="idrs", s=4, tol=1e-12, max_iter=3000)
 print(f"{'IDR(4)':27s} {int(info.iterations):4d} SpMVs  rel-res {relres(A, x, b):.2e}")
 
+# --- complex spectra: BiCGStab(2) — converges where plain BiCGStab fails
+# (the 24x24 seed-1 strongly-skewed system of tests/test_bicgstabl.py:
+# plain BiCGStab ends 6000 iterations at rel-res ~2.8e4 on it)
+_AL = problems.grid_laplacian_dirichlet((24, 24))
+_rngL = np.random.default_rng(1)
+_nL = _AL.shape[0]
+_skew = np.triu(_rngL.standard_normal((_nL, _nL)) * (_rngL.random((_nL, _nL)) < 0.01))
+_skew = _skew - _skew.T
+Ask = sp.csr_from_dense(np.asarray(_AL.todense()) + 0.5 * _skew)
+bsk = _rngL.standard_normal(_nL)
+x, info = sp.solve(Ask, bsk, method="bicgstabl", l=2, tol=1e-10,
+                   max_iter=3000, optimize_layout=False)
+print(f"{'BiCGStab(2), skewed':27s} {int(info.iterations):4d} cycles "
+      f"rel-res {relres(Ask, x, bsk):.2e}  (plain BiCGStab fails here)")
+
 # --- complex symmetric: CS-MINRES (the solver the reference never tests) --
 Ac, bc, _diag = problems.complex_symmetric_grid_with_diag((12, 12))
 xc, info = sp.cs_minres(Ac, jnp.asarray(bc), tol=1e-12, max_iter=600)

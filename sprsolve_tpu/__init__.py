@@ -38,6 +38,7 @@ from .solvers import (
     MulticolorGSPrecond,
     batched,
     bicgstab,
+    bicgstabl,
     block_cg,
     color_masks,
     cg,
@@ -80,6 +81,7 @@ __all__ = [
     "minres",
     "refine",
     "refine_solve",
+    "bicgstabl",
     "cocg",
     "cs_minres",
     "with_real_planes",

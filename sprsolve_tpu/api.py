@@ -30,7 +30,18 @@ import jax.numpy as jnp
 
 from .errors import IncompatibleMatrixFormat
 from .ops.operator import as_operator
-from .solvers import bicgstab, cg, cocg, cs_minres, gauss_seidel, gmres, idrs, lsqr, minres
+from .solvers import (
+    bicgstab,
+    bicgstabl,
+    cg,
+    cocg,
+    cs_minres,
+    gauss_seidel,
+    gmres,
+    idrs,
+    lsqr,
+    minres,
+)
 from .sparse.containers import CSR, ELL
 
 
@@ -47,6 +58,7 @@ def _run(fn, A, b, x, max_iter, tol, M=None):
 
 _SOLVERS = {
     "bicgstab": bicgstab,
+    "bicgstabl": bicgstabl,
     "cg": cg,
     "cocg": cocg,
     "minres": minres,
@@ -219,7 +231,9 @@ def solve(
     Pallas kernel path for banded matrices, with transparent padding) or any
     LinearOperator (used as-is).
 
-    ``method``: ``"bicgstab"`` (default), ``"cg"``, ``"minres"``,
+    ``method``: ``"bicgstab"`` (default), ``"bicgstabl"`` (BiCGStab(ℓ),
+    accepts ``l=``; cycles of 2ℓ SpMVs with an ℓ-dimensional MR step — for
+    spectra where plain BiCGStab stagnates), ``"cg"``, ``"minres"``,
     ``"cs_minres"``, ``"cocg"`` (complex-symmetric CG; takes the complex
     Jacobi), ``"gmres"`` (accepts ``restart=``), ``"idrs"``
     (accepts ``s=``), ``"lsqr"`` (rectangular; accepts ``damp=``/``AH=``).

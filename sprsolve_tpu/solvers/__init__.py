@@ -3,6 +3,7 @@
 ``lax.while_loop`` state pytree."""
 
 from .bicgstab import bicgstab
+from .bicgstabl import bicgstabl
 from .block_cg import batched, block_cg
 from .cg import cg
 from .gmres import gmres
@@ -26,6 +27,7 @@ from .redblack import (
 
 __all__ = [
     "bicgstab",
+    "bicgstabl",
     "batched",
     "block_cg",
     "cg",
