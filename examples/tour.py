@@ -144,6 +144,13 @@ lam, V, info = sp.lobpcg(
 print(f"{'LOBPCG smallest 3':27s} {int(info.iterations):4d} iters  "
       f"lambda = {np.array2string(np.asarray(lam), precision=4)}")
 
+# interior eigenpairs near a target: shift-invert (LOBPCG over
+# (A - sigma I)^-1, MINRES inner solves inside the jitted iteration)
+_lam_si, _Xsi, info = sp.shift_invert_eigs(Aspd, 3, 2.0, tol=1e-7,
+                                           max_iter=200)
+print(f"{'shift-invert eigs @ 2.0':27s} {int(info.iterations):4d} iters  "
+      f"lambda = {np.array2string(np.sort(np.asarray(_lam_si)), precision=4)}")
+
 # --- f64 accuracy at f32 kernel speed: iterative refinement ----------------
 Af64 = sp.CSR.from_arrays(np.asarray(Aspd.data, np.float64), Aspd.indices,
                           Aspd.indptr, Aspd.shape)

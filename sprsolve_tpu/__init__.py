@@ -44,6 +44,7 @@ from .solvers import (
     cg,
     cocg,
     cs_minres,
+    shift_invert_eigs,
     gauss_seidel,
     gauss_seidel_redblack,
     gmres,
@@ -83,6 +84,7 @@ __all__ = [
     "refine_solve",
     "bicgstabl",
     "cocg",
+    "shift_invert_eigs",
     "cs_minres",
     "with_real_planes",
     "gauss_seidel",

@@ -29,7 +29,8 @@ from .ops.operator import as_operator
 from .sparse.containers import CSR, csr_from_scipy
 
 __all__ = [
-    "aslinearoperator", "bicgstab", "cg", "gmres", "lobpcg", "lsqr", "minres",
+    "aslinearoperator", "bicgstab", "cg", "eigsh", "gmres", "lobpcg", "lsqr",
+    "minres",
 ]
 
 
@@ -200,6 +201,73 @@ def lobpcg(A, X, B=None, M=None, Y=None, tol=None, maxiter: int = 20,
     if largest:  # scipy returns descending for largest
         return w[::-1], v[:, ::-1]
     return w, v
+
+
+def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "LM", v0=None,
+          ncv=None, maxiter=None, tol: float = 0,
+          return_eigenvectors: bool = True, mode: str = "normal"):
+    """``scipy.sparse.linalg.eigsh`` conventions (supported subset).
+
+    Returns ``(w, v)`` (ascending ``w``) or ``w`` alone when
+    ``return_eigenvectors=False``.
+
+    Supported-subset notes:
+
+    - ``sigma=None``: ``which`` must be ``"LA"`` (largest algebraic) or
+      ``"SA"`` (smallest) — solved by LOBPCG.  ``"LM"`` without a shift
+      (largest magnitude) has no LOBPCG analog for indefinite spectra and
+      raises.
+    - ``sigma`` given: ``which="LM"`` only (ARPACK's shift-invert default —
+      the k eigenvalues nearest σ), solved by
+      :func:`~sprsolve_tpu.solvers.shift_invert_eigs` with *iterative*
+      inner solves (MINRES) instead of ARPACK's direct factorization.
+    - ``M`` (generalized problem), ``ncv``, and ``mode != "normal"`` are
+      unsupported and raise.
+    - ``tol=0`` maps to scipy's machine-precision intent as ``√ε`` of the
+      working dtype (exact 0 is unreachable for an iterative method).
+    - ``v0`` seeds the first column of the search block.
+    """
+    if M is not None or ncv is not None or mode != "normal":
+        raise NotImplementedError("eigsh M/ncv/mode are not supported")
+    op = aslinearoperator(A)
+    n = op.shape[0]
+    dt = _op_dtype(op, np.zeros(0))
+    if tol == 0:
+        tol = float(np.sqrt(np.finfo(np.dtype(dt)).eps))
+    rng = np.random.default_rng(0)
+    X0 = np.asarray(rng.standard_normal((n, k)), np.dtype(dt))
+    if v0 is not None:
+        X0[:, 0] = np.asarray(v0, X0.dtype).ravel()
+    if sigma is None:
+        if which not in ("LA", "SA"):
+            raise NotImplementedError(
+                "eigsh without sigma supports which='LA'/'SA' only "
+                f"(got {which!r}); for eigenvalues nearest a target pass "
+                "sigma="
+            )
+        from .solvers import lobpcg as _lobpcg
+
+        w, v, _info = _lobpcg(
+            op, jnp.asarray(X0), largest=(which == "LA"), tol=tol,
+            max_iter=200 if maxiter is None else maxiter,
+        )
+    else:
+        if which != "LM":
+            raise NotImplementedError(
+                "eigsh with sigma supports which='LM' (nearest sigma) only"
+            )
+        from .solvers import shift_invert_eigs as _sie
+
+        w, v, _info = _sie(
+            op, k, float(sigma), X0=jnp.asarray(X0), tol=tol,
+            max_iter=100 if maxiter is None else maxiter,
+            optimize_layout=False,
+        )
+        order = jnp.argsort(w)
+        w, v = w[order], v[:, order]
+    if return_eigenvectors:
+        return np.asarray(w), np.asarray(v)
+    return np.asarray(w)
 
 
 def lsqr(A, b, damp: float = 0.0, atol: float = 1e-6, btol: float = 1e-6,

@@ -14,6 +14,7 @@ from .minres import minres
 from .planes import with_real_planes
 from .refine import refine, refine_solve
 from .cocg import cocg
+from .eigs import InvertedOperator, shift_invert_eigs
 from .cs_minres import cs_minres
 from .gauss_seidel import gauss_seidel
 from .redblack import (
@@ -41,6 +42,8 @@ __all__ = [
     "refine_solve",
     "cocg",
     "cs_minres",
+    "InvertedOperator",
+    "shift_invert_eigs",
     "gauss_seidel",
     "gauss_seidel_redblack",
     "ColoredELL",
