@@ -591,10 +591,23 @@ class PaddedDIA:
     @staticmethod
     def from_dia(
         m: DIA,
-        lanes: int = LANES,
-        block_rows: int = BLOCK_ROWS,
+        lanes: int = None,
+        block_rows: int = None,
         narrow: bool = True,
     ) -> "PaddedDIA":
+        # geometry resolution: explicit argument > persisted autotune cache
+        # (utils.tuning — the mkl_sparse_optimize analog, one sweep per
+        # shape class) > shipped v5e defaults
+        if lanes is None or block_rows is None:
+            from ..utils.tuning import lookup as _tuned
+
+            cfg = _tuned(
+                "dia", np.asarray(m.bands).dtype, len(m.offsets), m.shape[0]
+            )
+            if lanes is None:
+                lanes = (cfg or {}).get("lanes", LANES)
+            if block_rows is None:
+                block_rows = (cfg or {}).get("block_rows", BLOCK_ROWS)
         n = m.shape[0]
         h = max((abs(o) for o in m.offsets), default=0)
         # round halo rows to a multiple of 8: window heights (BR + 2·hr) and
@@ -805,7 +818,17 @@ class ComplexPaddedDIA:
         return self.re.r_pad
 
     @staticmethod
-    def from_dia(m: DIA, lanes: int = LANES, block_rows: int = COMPLEX_BLOCK_ROWS):
+    def from_dia(m: DIA, lanes: int = None, block_rows: int = None):
+        if lanes is None or block_rows is None:
+            from ..utils.tuning import lookup as _tuned
+
+            cfg = _tuned(
+                "cdia", np.asarray(m.bands).dtype, len(m.offsets), m.shape[0]
+            )
+            if lanes is None:
+                lanes = (cfg or {}).get("lanes", LANES)
+            if block_rows is None:
+                block_rows = (cfg or {}).get("block_rows", COMPLEX_BLOCK_ROWS)
         bands = np.asarray(m.bands)
         mk = lambda b: PaddedDIA.from_dia(
             DIA(bands=b, offsets=m.offsets, shape=m.shape),
@@ -815,13 +838,21 @@ class ComplexPaddedDIA:
         return ComplexPaddedDIA(re=mk(bands.real), im=mk(bands.imag))
 
     @staticmethod
-    def from_csr(m, lanes: int = LANES, block_rows: int = COMPLEX_BLOCK_ROWS):
+    def from_csr(m, lanes: int = None, block_rows: int = None):
         """Build directly from a host CSR: complex data never touches the
         device (only the real band planes do) — required on backends without
         complex device-buffer support."""
         from ..sparse.containers import DIA as _DIA
 
         bands, offsets = _DIA.arrays_from_csr(m)
+        if lanes is None or block_rows is None:
+            from ..utils.tuning import lookup as _tuned
+
+            cfg = _tuned("cdia", bands.dtype, len(offsets), m.shape[0])
+            if lanes is None:
+                lanes = (cfg or {}).get("lanes", LANES)
+            if block_rows is None:
+                block_rows = (cfg or {}).get("block_rows", COMPLEX_BLOCK_ROWS)
         mk = lambda b: PaddedDIA.from_dia(
             _DIA(bands=b, offsets=offsets, shape=m.shape),
             lanes=lanes,
