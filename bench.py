@@ -687,6 +687,21 @@ def main():
                 f"bicgstab 10M rows (pallas): {t_s10*1e3:.1f} ms, "
                 f"{int(info10.iterations)} iters, res {float(info10.residual):.2e}"
             )
+            # BiCGStab(2) at 10M: VMEM pinning fails at this size, so the
+            # MR step's barrier amortization should matter MORE than at 1M
+            fl10 = jax.jit(
+                lambda a, b, m: sp.bicgstabl(a, b, M=m, l=2, tol=1e-4,
+                                             max_iter=400)
+            )
+            xs10b, info10b = fl10(p10, b10, p10.jacobi_precond())
+            jax.block_until_ready(xs10b)
+            t_s10b = timeit(fl10, p10, b10, p10.jacobi_precond(), warmup=1,
+                            iters=2)
+            log(
+                f"bicgstabl l=2 10M rows (pallas): {t_s10b*1e3:.1f} ms, "
+                f"{int(info10b.iterations)} cycles, "
+                f"res {float(info10b.residual):.2e}"
+            )
         except Exception as e:  # the JSON headline must survive large-scale
             log(f"BENCH_LARGE section failed: {type(e).__name__}: {e}")
 

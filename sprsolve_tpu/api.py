@@ -56,6 +56,43 @@ def _run(fn, A, b, x, max_iter, tol, M=None):
     return xr, (int(info.iterations), float(info.residual))
 
 
+def _auto_method(A) -> str:
+    """Pick a solver from the matrix structure (host-side, O(nnz)):
+    Hermitian — incl. real symmetric — → ``minres`` (safe for indefinite
+    systems, unlike CG); complex symmetric (Aᵀ = A, non-Hermitian) →
+    ``cocg``; anything else (or a non-container operator, which cannot be
+    inspected) → ``bicgstab``."""
+    import numpy as np
+
+    from .sparse.containers import CSC, CSR
+
+    if isinstance(A, CSC):
+        A = A.to_csr()
+    if not isinstance(A, CSR):
+        return "bicgstab"
+    import scipy.sparse as sps
+
+    S = sps.csr_matrix(
+        (np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr)),
+        shape=A.shape,
+    )
+    if S.shape[0] != S.shape[1]:
+        return "lsqr"
+    scale = float(abs(S).max()) if S.nnz else 0.0
+    if scale == 0.0:
+        return "bicgstab"
+    tol = 1e-12 * scale
+
+    def _dev(X):
+        return float(abs(X).max()) if X.nnz else 0.0
+
+    if _dev(S - S.getH()) <= tol:
+        return "minres"
+    if np.iscomplexobj(np.asarray(A.data)) and _dev(S - S.T) <= tol:
+        return "cocg"
+    return "bicgstab"
+
+
 _SOLVERS = {
     "bicgstab": bicgstab,
     "bicgstabl": bicgstabl,
@@ -231,7 +268,10 @@ def solve(
     Pallas kernel path for banded matrices, with transparent padding) or any
     LinearOperator (used as-is).
 
-    ``method``: ``"bicgstab"`` (default), ``"bicgstabl"`` (BiCGStab(ℓ),
+    ``method``: ``"auto"`` picks from the matrix structure (Hermitian/real
+    symmetric → ``minres``, complex symmetric → ``cocg``, else
+    ``bicgstab`` — an O(nnz) host-side check),
+    ``"bicgstab"`` (default), ``"bicgstabl"`` (BiCGStab(ℓ),
     accepts ``l=``; cycles of 2ℓ SpMVs with an ℓ-dimensional MR step — for
     spectra where plain BiCGStab stagnates), ``"cg"``, ``"minres"``,
     ``"cs_minres"``, ``"cocg"`` (complex-symmetric CG; takes the complex
@@ -252,6 +292,8 @@ def solve(
     f64/c128 accuracy on TPU use
     :func:`~sprsolve_tpu.solvers.refine_solve`.
     """
+    if method == "auto":
+        method = _auto_method(A)
     solver = _SOLVERS[method]
     b = jnp.asarray(b)
 
@@ -380,8 +422,11 @@ def prepare(
     """Build a :class:`PreparedSolver` for repeated solves against ``A``.
 
     Accepts the same inputs as :func:`solve` (CSR/CSC containers or any
-    operator; ``M`` as an object or ``"jacobi"``/``"ilu0"``/``"ic0"``).
+    operator; ``M`` as an object or ``"jacobi"``/``"ilu0"``/``"ic0"``;
+    ``method="auto"`` picks from the matrix structure as in :func:`solve`).
     """
+    if method == "auto":
+        method = _auto_method(A)
     solver = _SOLVERS[method]
     op, M, padded = _prepare_op_M(A, method, M, optimize_layout)
     import numpy as np

@@ -153,3 +153,44 @@ def test_prepare_complex_padded_planes():
     x2, info2 = handle(b * (0.5 + 0.25j), x0=x1 * (0.5 + 0.25j))
     info2.raise_if_error()
     assert int(info2.iterations) <= 2
+
+
+def test_auto_method_structure_dispatch():
+    """method='auto': Hermitian/real-symmetric -> minres, complex
+    symmetric -> cocg, nonsymmetric -> bicgstab, rectangular -> lsqr,
+    operators (uninspectable) -> bicgstab."""
+    from sprsolve_tpu.api import _auto_method
+
+    Asym = problems.poisson3d(6, 6, 6, dtype=np.float64)
+    assert _auto_method(Asym) == "minres"
+    Aherm, _ = problems.hermitian_grid((6, 6))
+    assert _auto_method(Aherm) == "minres"
+    Acs, _, _ = problems.complex_symmetric_grid_with_diag((6, 6))
+    assert _auto_method(Acs) == "cocg"
+    rng = np.random.default_rng(0)
+    dense = rng.standard_normal((40, 40)) * (rng.random((40, 40)) < 0.2)
+    dense += np.eye(40) * 5
+    assert _auto_method(sp.csr_from_dense(dense)) == "bicgstab"
+    assert _auto_method(sp.csr_from_dense(rng.standard_normal((30, 12)))) == "lsqr"
+    assert _auto_method(Asym.to_dia()) == "bicgstab"  # operator: no inspection
+
+
+def test_solve_method_auto_end_to_end():
+    # symmetric -> minres path converges
+    A = problems.poisson3d(6, 6, 6, dtype=np.float64)
+    b = np.random.default_rng(1).standard_normal(216)
+    x, info = sp.solve(A, b, method="auto", tol=1e-11, max_iter=600)
+    info.raise_if_error()
+    r = np.asarray(A.matvec(jnp.asarray(x))) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+    # complex symmetric -> cocg path converges to the manufactured solution
+    Ac, bc, _ = problems.complex_symmetric_grid_with_diag((8, 8))
+    xc, infoc = sp.solve(Ac, bc, method="auto", M="jacobi", tol=1e-12,
+                         max_iter=600)
+    infoc.raise_if_error()
+    want = np.array([complex(i, j) for i in range(8) for j in range(8)])
+    assert np.abs(np.asarray(xc) - want).max() < 1e-9
+    # prepare() accepts auto too
+    h = sp.prepare(A, method="auto", tol=1e-10, max_iter=600)
+    x2, info2 = h(b)
+    info2.raise_if_error()

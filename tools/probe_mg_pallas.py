@@ -9,6 +9,15 @@ round-trips per apply) pays off end-to-end on the 1M-row Poisson at
 tol 1e-6.
 
 Run on the real chip: python tools/probe_mg_pallas.py
+
+MEASURED OUTCOME (v5e, back-to-back): xla-dia levels 2,406 µs/iter,
+pallas levels 2,685 µs/iter — the kernel path is ~12% SLOWER end-to-end.
+The V-cycle's cost is not the level-0 SpMV throughput: the weighted-Jacobi
+smoother's elementwise passes (residual, D⁻¹ scale, correction) fuse INTO
+the XLA DIA matvec's fusion soup, while the Pallas path breaks that fusion
+at the kernel boundary and adds the FlatViewOperator pad/unpad round-trip
+per apply.  `from_csr`'s `prefer_pallas=False` default stands (negative
+result, kept in the house tradition of recording them).
 """
 
 import sys
