@@ -7,6 +7,8 @@ preconditioner, print the solve report, optionally write x.
     python -m sprsolve_tpu solve A.mtx --rhs b.npy --method cg --precond amg \
         --tol 1e-10 --max-iter 2000 --out x.npy
     python -m sprsolve_tpu info A.mtx
+    python -m sprsolve_tpu eig A.mtx -k 4 --which SA
+    python -m sprsolve_tpu eig A.mtx -k 2 --sigma 3.5   # interior, near σ
 """
 
 from __future__ import annotations
@@ -88,6 +90,11 @@ def _cmd_solve(args):
         return 2
 
     M = args.precond if args.precond != "none" else None
+    if args.method == "auto":
+        # resolve here so the report line names the method actually run
+        from .api import _auto_method
+
+        args.method = _auto_method(A)
     t0 = time.perf_counter()
     try:
         if args.refine:
@@ -130,6 +137,51 @@ def _cmd_solve(args):
     return 0 if status == "CONVERGED" else 1
 
 
+def _cmd_eig(args):
+    import numpy as np
+
+    from .scipy_compat import eigsh
+    from .utils.io import mmread
+
+    A = mmread(args.matrix)
+    if not hasattr(A, "matvec"):
+        print("error: matrix file is a dense array; expected sparse", file=sys.stderr)
+        return 2
+    if A.shape[0] != A.shape[1]:
+        print("error: eigensolver needs a square matrix", file=sys.stderr)
+        return 2
+    which = args.which
+    if args.sigma is not None and which != "LM":
+        print("error: --sigma (shift-invert) implies --which LM", file=sys.stderr)
+        return 2
+    if args.sigma is None and which == "LM":
+        # scipy's eigsh default is LM, but without a shift an indefinite
+        # spectrum has no LOBPCG analog — steer to the supported ends
+        print("error: --which LM needs --sigma; use LA/SA for the spectrum's "
+              "ends", file=sys.stderr)
+        return 2
+    t0 = time.perf_counter()
+    try:
+        w, v = eigsh(A, k=args.k, sigma=args.sigma, which=which,
+                     tol=args.tol, maxiter=args.max_iter)
+    except NotImplementedError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    wall = time.perf_counter() - t0
+    Av = np.asarray(A.matmat(v) if hasattr(A, "matmat") else
+                    np.stack([np.asarray(A.matvec(v[:, i])) for i in range(v.shape[1])], axis=1))
+    rel = np.linalg.norm(Av - v * w[None, :], axis=0) / np.maximum(np.abs(w), 1e-300)
+    kind = (f"nearest sigma={args.sigma:g}" if args.sigma is not None
+            else {"LA": "largest", "SA": "smallest"}[which])
+    print(f"{args.k} eigenpairs ({kind}), {wall:.3f} s (incl. compile)")
+    for i in range(len(w)):
+        print(f"  lambda[{i}] = {w[i]:+.10e}   rel-res {rel[i]:.2e}")
+    if args.out:
+        np.savez(args.out, w=w, v=v)
+        print(f"wrote {args.out}")
+    return 0 if float(rel.max()) <= max(args.tol * 50, 1e-6) else 1
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="python -m sprsolve_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -142,8 +194,9 @@ def main(argv=None):
     p_solve.add_argument("matrix", help="Matrix Market file for A")
     p_solve.add_argument("--rhs", help=".npy/.mtx/text file for b (default: ones)")
     p_solve.add_argument(
-        "--method", default="bicgstab",
-        choices=["bicgstab", "cg", "minres", "cs_minres", "gmres", "idrs", "lsqr"],
+        "--method", default="auto",
+        choices=["auto", "bicgstab", "bicgstabl", "cg", "minres", "cs_minres",
+                 "cocg", "gmres", "idrs", "lsqr"],
     )
     p_solve.add_argument(
         "--precond", default="none",
@@ -162,6 +215,25 @@ def main(argv=None):
         "--method as the f32/c64 inner solver (max-iter = outer steps)",
     )
     p_solve.set_defaults(fn=_cmd_solve)
+
+    p_eig = sub.add_parser(
+        "eig", help="k eigenpairs of a symmetric/Hermitian matrix"
+    )
+    p_eig.add_argument("matrix", help="Matrix Market file for A")
+    p_eig.add_argument("-k", type=int, default=6, help="number of eigenpairs")
+    p_eig.add_argument(
+        "--which", default="SA", choices=["LA", "SA", "LM"],
+        help="LA/SA: largest/smallest algebraic (LOBPCG); "
+        "LM with --sigma: nearest sigma (shift-invert)",
+    )
+    p_eig.add_argument(
+        "--sigma", type=float, default=None,
+        help="shift-invert target: return the k eigenvalues nearest this",
+    )
+    p_eig.add_argument("--tol", type=float, default=1e-8)
+    p_eig.add_argument("--max-iter", type=int, default=200)
+    p_eig.add_argument("--out", help="write w/v to this .npz file")
+    p_eig.set_defaults(fn=_cmd_eig)
 
     args = ap.parse_args(argv)
     # honor the file's dtype: .mtx data is f64/c128 — without x64 JAX would

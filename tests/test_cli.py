@@ -72,3 +72,58 @@ def test_solve_refine_flag(lap_mtx, capsys):
     # true residual reported by the CLI is already checked against 'rel-res'
     rel = float(out.split("true rel-res ")[1].split(",")[0])
     assert rel < 1e-12
+
+
+@pytest.fixture()
+def sym_mtx(tmp_path):
+    A, _rhs = problems.sym_grid_laplacian((8, 8))
+    p = tmp_path / "sym.mtx"
+    mmwrite(p, A)
+    return A, str(p)
+
+
+def test_solve_auto_picks_minres(sym_mtx, capsys):
+    _, path = sym_mtx
+    rc = main(["solve", path, "--tol", "1e-10", "--max-iter", "500"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("minres") and "CONVERGED" in out
+
+
+def test_eig_smallest(sym_mtx, capsys):
+    A, path = sym_mtx
+    rc = main(["eig", path, "-k", "3", "--which", "SA", "--tol", "1e-8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lams = [float(line.split("=")[1].split()[0])
+            for line in out.splitlines() if "lambda[" in line]
+    dense = np.zeros(A.shape)
+    for i in range(A.shape[0]):
+        x = np.zeros(A.shape[0]); x[i] = 1.0
+        dense[:, i] = np.asarray(A.matvec(x))
+    ref = np.sort(np.linalg.eigvalsh(dense))[:3]
+    assert np.allclose(sorted(lams), ref, rtol=1e-5, atol=1e-8)
+
+
+def test_eig_shift_invert(sym_mtx, capsys):
+    A, path = sym_mtx
+    dense = np.zeros(A.shape)
+    for i in range(A.shape[0]):
+        x = np.zeros(A.shape[0]); x[i] = 1.0
+        dense[:, i] = np.asarray(A.matvec(x))
+    full = np.linalg.eigvalsh(dense)
+    sigma = float((full[3] + full[4]) / 2)  # between two interior eigenvalues
+    rc = main(["eig", path, "-k", "2", "--which", "LM",
+               "--sigma", repr(sigma), "--tol", "1e-8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lams = [float(line.split("=")[1].split()[0])
+            for line in out.splitlines() if "lambda[" in line]
+    ref = sorted(full, key=lambda l: abs(l - sigma))[:2]
+    assert np.allclose(sorted(lams), sorted(ref), rtol=1e-5, atol=1e-8)
+
+
+def test_eig_lm_without_sigma_errors(sym_mtx, capsys):
+    _, path = sym_mtx
+    assert main(["eig", path, "--which", "LM"]) == 2
+    assert "--sigma" in capsys.readouterr().err
