@@ -85,6 +85,8 @@ def optimize(
     allow_bsr: bool = True,
     wide_diags: int = 192,
     mem_limit_bytes: int = 4 << 30,
+    measure: bool = False,
+    measure_iters: int = 30,
 ):
     """Analyze ``m`` and return the fastest operator for repeated SpMV.
 
@@ -97,6 +99,18 @@ def optimize(
     ``max_diags`` bounds the Pallas/DIA band count; ``wide_diags`` bounds the
     XLA-DIA fallback used when the band is wide but still far cheaper than
     gathering; ``mem_limit_bytes`` caps any layout's storage blow-up.
+
+    ``measure=True`` settles the wide-DIA/BSR comparison empirically instead
+    of by the efficiency-weighted byte model: every surviving candidate is
+    built, its SpMV timed on the current backend (``measure_iters`` chained
+    applies), and the measured winner returned — the full
+    ``mkl_sparse_set_mv_hint(calls) + mkl_sparse_optimize`` flow
+    (``src/mkl_mat.rs:81-148``), worth its one-time cost when the operator
+    is applied many times.  The winning label persists in the autotune cache
+    keyed by the sparsity-pattern signature, so re-running the same problem
+    skips the measurement pass.  (Banded matrices short-circuit to the
+    Pallas/DIA path as before — their kernel *geometry* tunes via
+    :func:`~sprsolve_tpu.utils.tuning.tune_padded_dia`.)
     """
     n = m.shape[0]
     nnz = m.nnz
@@ -125,31 +139,38 @@ def optimize(
     # Candidates are ranked by PREDICTED TIME — bytes_per_nnz divided by the
     # measured per-path bandwidth efficiency — not by raw bytes.
     is_complex = bool(jnp.iscomplexobj(m.data))
-    candidates = []  # (bytes_per_nnz / efficiency, builder)
-    for cand_m, cand_perm, nd in ((m, None, n_diags), (mp, perm, nd_perm)):
+    candidates = []  # (bytes_per_nnz / efficiency, label, builder)
+    for cand_m, cand_perm, nd, tag in (
+        (m, None, n_diags, ""), (mp, perm, nd_perm, "-rcm")
+    ):
         if cand_m is None:
             continue
         if nd <= wide_diags and nd * n * itemsize <= mem_limit_bytes:
             bpn = (nd + 2) * n * itemsize / nnz
             candidates.append(
-                (bpn / _EFF_XLA_DIA, lambda cm=cand_m, cp=cand_perm, nd=nd: _wrap(
-                    DIA.from_csr(cm, max_diags=nd), cp
-                ))
+                (bpn / _EFF_XLA_DIA, f"dia{nd}{tag}",
+                 lambda cm=cand_m, cp=cand_perm, nd=nd: _wrap(
+                     DIA.from_csr(cm, max_diags=nd), cp
+                 ))
             )
         if allow_bsr:
             bpn, bs = _bsr_cost(cand_m, itemsize, mem_limit_bytes)
             if bs:
                 blk_cls = ComplexBSR if is_complex else BSR
                 candidates.append(
-                    (bpn / _EFF_BSR,
+                    (bpn / _EFF_BSR, f"bsr{bs}{tag}",
                      lambda cm=cand_m, cp=cand_perm, bs=bs, cls=blk_cls: _wrap(
                          cls.from_csr(cm, bs=bs), cp
                      ))
                 )
     # an ELL-routed matrix runs ~1000x under roofline; only beyond ~50x the
     # banded traffic does the scalar-gather path stop being strictly worse
+    if len(candidates) > 1 and measure:
+        picked = _measure_pick(m, candidates, measure_iters)
+        if picked is not None:
+            return picked
     if candidates:
-        score, build = min(candidates, key=lambda c: c[0])
+        score, _label, build = min(candidates, key=lambda c: c[0])
         return build()
 
     warnings.warn(
@@ -165,3 +186,60 @@ def optimize(
 
 def _wrap(inner, perm):
     return inner if perm is None else Reordered.wrap(inner, perm)
+
+
+def _layout_step(inner, n, scale):
+    """(step, x0) for timing one candidate's SpMV as a shape-preserving
+    chain.  ComplexBSR runs on stacked (re, im) f32 planes — complex device
+    buffers are rejected by some backends (the axon tunnel), and the planes
+    form is exactly what the solvers execute."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    if isinstance(inner, ComplexBSR):
+        rdt = np.asarray(inner.re.blocks).dtype
+        x = jnp.asarray(
+            np.stack([rng.standard_normal(n), rng.standard_normal(n)]).astype(rdt)
+        )
+        return (lambda v: jnp.stack(inner._planes_matvec(v[0], v[1])) * scale), x
+    dt = inner.dtype
+    x = jnp.asarray(rng.standard_normal(n).astype(np.dtype(dt).char.lower()
+                                                  if np.dtype(dt).kind == "c"
+                                                  else dt)).astype(dt)
+    return (lambda v: inner.matvec(v) * scale), x
+
+
+def _measure_pick(m: CSR, candidates, iters: int):
+    """Time each candidate layout's SpMV on the current backend and return
+    the built winner (None → fall back to the cost model).  The winning
+    label persists keyed by the pattern signature + dtype + device kind."""
+    from ..utils import tuning
+
+    n, nnz = m.shape[0], m.nnz
+    data = np.asarray(m.data)
+    sig = tuning.pattern_sig(n, nnz, m.indptr, m.indices)
+    by_label = {label: build for _s, label, build in candidates}
+    cached = tuning.lookup_layout(sig, data.dtype)
+    if cached in by_label:
+        return by_label[cached]()
+    # chain stability: bound the spectral radius estimate by ||A||_inf's
+    # cheap upper bound so 'iters' chained applies cannot overflow f32
+    rows_max = int(np.diff(np.asarray(m.indptr)).max()) if n else 1
+    ainf_ub = float(np.abs(data).max()) * max(rows_max, 1) if len(data) else 1.0
+    scale = 0.5 / max(ainf_ub, 1e-30)
+    best = None
+    for _score, label, build in candidates:
+        try:
+            op = build()
+            inner = op.inner if isinstance(op, Reordered) else op
+            step, x = _layout_step(inner, n, scale)
+            t = tuning._time_step(step, x, iters)
+        except Exception:
+            continue  # unbuildable/unmeasurable on this backend: skip
+        if best is None or t < best[0]:
+            best = (t, label, op)
+    if best is None:
+        return None
+    t, label, op = best
+    tuning.store_layout(sig, data.dtype, label, nnz / t / 1e9)
+    return op

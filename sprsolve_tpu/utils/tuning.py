@@ -112,6 +112,47 @@ def store(kind: str, dtype, nbands: int, n: int, config: dict,
 
 
 # ---------------------------------------------------------------------------
+# layout-choice persistence (optimize(measure=True))
+
+
+def pattern_sig(n: int, nnz: int, indptr, indices) -> str:
+    """Stable 16-hex signature of a sparsity pattern (size + sampled
+    structure).  Keys the measured-layout cache: re-running the same
+    problem skips the measurement pass entirely."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    h.update(np.asarray([n, nnz], np.int64).tobytes())
+    ip = np.asarray(indptr, np.int64)
+    ix = np.asarray(indices, np.int64)
+    h.update(np.ascontiguousarray(ip[:: max(1, len(ip) // 64)]).tobytes())
+    h.update(np.ascontiguousarray(ix[:: max(1, len(ix) // 64)]).tobytes())
+    return h.hexdigest()
+
+
+def _layout_key(sig: str, dtype) -> str:
+    return f"layout|{_device_kind()}|{np.dtype(dtype).name}|{sig}"
+
+
+def lookup_layout(sig: str, dtype) -> Optional[str]:
+    """The persisted winning layout label for this pattern, or None."""
+    ent = _load().get(_layout_key(sig, dtype))
+    if isinstance(ent, dict) and "label" in ent:
+        return str(ent["label"])
+    return None
+
+
+def store_layout(sig: str, dtype, label: str, gnnz_s: float) -> None:
+    data = dict(_load())
+    data[_layout_key(sig, dtype)] = {
+        "label": str(label),
+        "gnnz_s": round(float(gnnz_s), 3),
+        "tuned_at": int(time.time()),
+    }
+    _save(data)
+
+
+# ---------------------------------------------------------------------------
 # measurement
 
 
@@ -131,7 +172,8 @@ def _time_step(step, x, iters: int) -> float:
 
     def run(n):
         out = chain(x, jnp.int32(n))
-        float(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # completion
+        # completion via a scalar fetch (dtype-agnostic: complex-safe)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
 
     run(2)  # compile + warm
     ts = []

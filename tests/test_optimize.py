@@ -182,3 +182,79 @@ def test_optimize_cost_model_weighs_efficiency_not_bytes():
     else:
         got = np.asarray(op.matvec(jnp.asarray(x)))
     np.testing.assert_allclose(got, S @ x, rtol=2e-4, atol=2e-3)
+
+
+def test_optimize_measure_picks_and_persists(tmp_path, monkeypatch):
+    """measure=True: candidates are timed on the backend, the winner's label
+    persists keyed by the pattern signature, and a re-run resolves from the
+    cache without measuring (the mkl_sparse_optimize amortization story)."""
+    import json
+
+    import scipy.sparse as sps
+
+    from sprsolve_tpu.utils import tuning
+
+    monkeypatch.setenv("SPRSOLVE_TUNE_CACHE", str(tmp_path / "autotune.json"))
+    tuning._MEM.update(path=None, mtime=None, data={})
+    try:
+        n, hw = 1024, 16  # 33 dense diagonals: both DIA and BSR candidates
+        rng = np.random.default_rng(1)
+        diags = [rng.standard_normal(n - abs(k)).astype(np.float32)
+                 for k in range(-hw, hw + 1)]
+        S = sps.diags(diags, list(range(-hw, hw + 1)), format="csr")
+        S = (S + sps.eye(n, format="csr") * 100.0).astype(np.float32)
+        A = sp.csr_from_scipy(S)
+        op = sp.optimize(A, measure=True, measure_iters=3)
+        # the measured winner is a structured layout and computes correctly
+        assert not isinstance(op, sp.ELL)
+        x = rng.standard_normal(n).astype(np.float32)
+        if hasattr(op, "pad_vec"):
+            got = np.asarray(op.unpad_vec(op.matvec(op.pad_vec(jnp.asarray(x)))))
+        else:
+            got = np.asarray(op.matvec(jnp.asarray(x)))
+        np.testing.assert_allclose(got, S @ x, rtol=2e-4, atol=2e-3)
+        # persisted entry with the winner's label and a throughput record
+        saved = json.load(open(tmp_path / "autotune.json"))
+        (key, ent), = saved.items()
+        assert key.startswith("layout|") and "float32" in key
+        assert ent["label"].startswith(("dia", "bsr")) and ent["gnnz_s"] > 0
+        # second call resolves from the cache: same layout class, no new
+        # measurement (the stored entry is unchanged, incl. its timestamp)
+        op2 = sp.optimize(A, measure=True, measure_iters=3)
+        assert type(op2) is type(op)
+        saved2 = json.load(open(tmp_path / "autotune.json"))
+        assert saved2 == saved
+    finally:
+        tuning._MEM.update(path=None, mtime=None, data={})
+
+
+def test_optimize_measure_complex_planes(tmp_path, monkeypatch):
+    """measure=True on an unstructured complex matrix: the ComplexBSR
+    candidate is timed through its (re, im) planes form (no complex device
+    buffers) and the returned operator matches the scipy oracle."""
+    import scipy.sparse as sps
+
+    from sprsolve_tpu.utils import tuning
+
+    monkeypatch.setenv("SPRSOLVE_TUNE_CACHE", str(tmp_path / "autotune.json"))
+    tuning._MEM.update(path=None, mtime=None, data={})
+    try:
+        rng = np.random.default_rng(2)
+        S = sps.random(400, 400, density=0.03, random_state=2, format="csr")
+        S = (S + sps.eye(400)).astype(np.complex64)
+        S.data = S.data + 0.5j * rng.standard_normal(len(S.data)).astype(
+            np.float32
+        )
+        A = sp.csr_from_scipy(S)
+        op = sp.optimize(A, measure=True, measure_iters=3)
+        assert not isinstance(op, sp.ELL)
+        x = (rng.standard_normal(400) + 1j * rng.standard_normal(400)).astype(
+            np.complex64
+        )
+        if hasattr(op, "pad_vec"):
+            got = np.asarray(op.unpad_vec(op.matvec(op.pad_vec(jnp.asarray(x)))))
+        else:
+            got = np.asarray(op.matvec(jnp.asarray(x)))
+        np.testing.assert_allclose(got, S @ x, rtol=2e-4, atol=2e-3)
+    finally:
+        tuning._MEM.update(path=None, mtime=None, data={})
