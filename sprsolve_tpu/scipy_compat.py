@@ -250,6 +250,9 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "LM", v0=None,
         w, v, _info = _lobpcg(
             op, jnp.asarray(X0), largest=(which == "LA"), tol=tol,
             max_iter=200 if maxiter is None else maxiter,
+            # guard buffer (ARPACK's ncv > k analog): protects the k-th
+            # pair's convergence when it sits in a cluster
+            buffer=min(k, 4),
         )
     else:
         if which != "LM":

@@ -125,3 +125,36 @@ def test_padded_kernel_operator():
     info.raise_if_error()
     ev = np.linalg.eigvalsh(dense)
     np.testing.assert_allclose(np.asarray(lam), ev[:2], atol=1e-3)
+
+
+def test_buffer_accelerates_clustered_pair():
+    """Guard-buffer heuristic: lambda_k inside a tight cluster converges
+    slowly (rate ~ gap to the first eigenvalue outside the block); buffer
+    columns move that boundary past the cluster.  The buffered run must
+    reach the same pairs in fewer iterations, and the buffer columns must
+    not leak into the returned block."""
+    n = 200
+    d = np.arange(1.0, n + 1.0)
+    d[3] = 4.0 + 1e-4  # lambda_4 clustered against lambda_3 (k=4 wanted)
+    A = sp.csr_from_dense(np.diag(d))
+    X0 = jnp.asarray(np.random.default_rng(5).standard_normal((n, 4)))
+    lam0, _, info0 = sp.lobpcg(A, X0, tol=1e-8, max_iter=500)
+    lamb, Xb, infob = sp.lobpcg(A, X0, tol=1e-8, max_iter=500, buffer=4)
+    infob.raise_if_error()
+    ref = np.sort(d)[:4]
+    np.testing.assert_allclose(np.asarray(lamb), ref, rtol=0, atol=1e-5)
+    assert Xb.shape == (n, 4) and lamb.shape == (4,)
+    # acceleration: the unbuffered run is gap-limited on the clustered pair
+    assert int(infob.iterations) < int(info0.iterations)
+
+
+def test_buffer_clamps_to_block_bound():
+    """3(k+buffer) < n must keep holding: an oversized buffer is clamped,
+    not an error."""
+    n = 30
+    A = sp.csr_from_dense(np.diag(np.arange(1.0, n + 1.0)))
+    X0 = jnp.asarray(np.random.default_rng(6).standard_normal((n, 3)))
+    lam, X, info = sp.lobpcg(A, X0, tol=1e-8, max_iter=300, buffer=100)
+    info.raise_if_error()
+    np.testing.assert_allclose(np.asarray(lam), [1.0, 2.0, 3.0], atol=1e-6)
+    assert X.shape == (n, 3)
