@@ -42,6 +42,7 @@ from .solvers import (
     block_cg,
     color_masks,
     cg,
+    cgs,
     cocg,
     cs_minres,
     shift_invert_eigs,
@@ -53,6 +54,7 @@ from .solvers import (
     lsqr,
     greedy_color,
     minres,
+    tfqmr,
     refine,
     refine_solve,
     with_real_planes,
@@ -80,9 +82,11 @@ __all__ = [
     "lobpcg",
     "lsqr",
     "minres",
+    "tfqmr",
     "refine",
     "refine_solve",
     "bicgstabl",
+    "cgs",
     "cocg",
     "shift_invert_eigs",
     "cs_minres",

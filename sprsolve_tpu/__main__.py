@@ -195,8 +195,8 @@ def main(argv=None):
     p_solve.add_argument("--rhs", help=".npy/.mtx/text file for b (default: ones)")
     p_solve.add_argument(
         "--method", default="auto",
-        choices=["auto", "bicgstab", "bicgstabl", "cg", "minres", "cs_minres",
-                 "cocg", "gmres", "idrs", "lsqr"],
+        choices=["auto", "bicgstab", "bicgstabl", "cg", "cgs", "tfqmr",
+                 "minres", "cs_minres", "cocg", "gmres", "idrs", "lsqr"],
     )
     p_solve.add_argument(
         "--precond", default="none",

@@ -34,6 +34,7 @@ from .solvers import (
     bicgstab,
     bicgstabl,
     cg,
+    cgs,
     cocg,
     cs_minres,
     gauss_seidel,
@@ -41,6 +42,7 @@ from .solvers import (
     idrs,
     lsqr,
     minres,
+    tfqmr,
 )
 from .sparse.containers import CSR, ELL
 
@@ -97,8 +99,10 @@ _SOLVERS = {
     "bicgstab": bicgstab,
     "bicgstabl": bicgstabl,
     "cg": cg,
+    "cgs": cgs,
     "cocg": cocg,
     "minres": minres,
+    "tfqmr": tfqmr,
     "cs_minres": cs_minres,
     "gmres": gmres,
     "idrs": idrs,
@@ -275,7 +279,9 @@ def solve(
     accepts ``l=``; cycles of 2ℓ SpMVs with an ℓ-dimensional MR step — for
     spectra where plain BiCGStab stagnates), ``"cg"``, ``"minres"``,
     ``"cs_minres"``, ``"cocg"`` (complex-symmetric CG; takes the complex
-    Jacobi), ``"gmres"`` (accepts ``restart=``), ``"idrs"``
+    Jacobi), ``"cgs"`` / ``"tfqmr"`` (transpose-free CGS-family methods:
+    CGS converges fast but erratically, TFQMR smooths it at the same
+    2-SpMV/iter cost), ``"gmres"`` (accepts ``restart=``), ``"idrs"``
     (accepts ``s=``), ``"lsqr"`` (rectangular; accepts ``damp=``/``AH=``).
     See ``docs/solvers.md`` for the selection guide.
 

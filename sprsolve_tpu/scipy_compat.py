@@ -132,6 +132,19 @@ def bicgstab(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
     return _run("bicgstab", A, b, x0, rtol, atol, maxiter, M)
 
 
+def cgs(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+        maxiter: Optional[int] = None, M=None):
+    """``scipy.sparse.linalg.cgs`` conventions."""
+    return _run("cgs", A, b, x0, rtol, atol, maxiter, M)
+
+
+def tfqmr(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+          maxiter: Optional[int] = None, M=None, show: bool = False):
+    """``scipy.sparse.linalg.tfqmr`` conventions (``show`` is accepted and
+    ignored — no per-iteration printing from inside a jitted loop)."""
+    return _run("tfqmr", A, b, x0, rtol, atol, maxiter, M)
+
+
 def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
           restart: Optional[int] = None, maxiter: Optional[int] = None, M=None):
     """``scipy.sparse.linalg.gmres`` conventions.

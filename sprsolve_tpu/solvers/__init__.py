@@ -11,8 +11,10 @@ from .idrs import idrs
 from .lobpcg import lobpcg
 from .lsqr import lsqr
 from .minres import minres
+from .tfqmr import tfqmr
 from .planes import with_real_planes
 from .refine import refine, refine_solve
+from .cgs import cgs
 from .cocg import cocg
 from .eigs import InvertedOperator, shift_invert_eigs
 from .cs_minres import cs_minres
@@ -40,6 +42,8 @@ __all__ = [
     "with_real_planes",
     "refine",
     "refine_solve",
+    "cgs",
+    "tfqmr",
     "cocg",
     "cs_minres",
     "InvertedOperator",
