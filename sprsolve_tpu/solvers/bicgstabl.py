@@ -52,7 +52,7 @@ from jax import lax
 
 from ..errors import Status
 from ..ops.operator import IdentityOperator, mv_prec_wdot
-from ..vecalg import axpy, conj_dot, norm2
+from ..vecalg import axpy, conj_dot, eps_for, norm2
 from .bicgstab import _guard3
 from .common import check_shapes, make_info
 
@@ -127,6 +127,16 @@ def bicgstabl(
             return x0, make_info(0, r0_norm / rhs_norm, Status.CONVERGED), hist
 
         def iterate(_):
+            # scalar-death threshold at the problem's rounding floor, the
+            # BiCGStab ρ-scale convention ((ε‖r₀‖)², src/bicg_stab.rs:84-85).
+            # A strict |·| > 0 test is NOT enough: with a near-exact M
+            # (e.g. AMG on a small system) the solve completes inside the
+            # first inner step, the next step's γ lands at denormal scale
+            # (~1e-30), and dividing by it amplifies rounding noise by
+            # ~1e15 — committing garbage to (z, r) while the recurrence
+            # residual keeps "converging" (caught by the solver×precond
+            # compatibility matrix, tests/test_compat_matrix.py).
+            brk_tol = (r0_norm * eps_for(b.dtype)) ** 2
             hist0 = jnp.full(hist_len, jnp.nan, dtype=rdt)
             st0 = _State(
                 z=jnp.zeros_like(b),
@@ -176,7 +186,7 @@ def bicgstabl(
 
                 # ---- BiCG half: ℓ steps, unrolled (static l)
                 for j in range(l):
-                    step_ok = jnp.abs(rho0) > 0
+                    step_ok = jnp.abs(rho0) > brk_tol
                     beta = alpha * (rho1 / jnp.where(step_ok, rho0, one))
                     rho0_n = rho1
                     us_n = [axpy(-beta, us[i], rs[i]) for i in range(j + 1)]
@@ -184,7 +194,7 @@ def bicgstabl(
                     _, u_next, gamma = mv_prec_wdot(
                         A, M, us_n[j], s_.rt, axis_name
                     )
-                    step_ok = step_ok & (jnp.abs(gamma) > 0)
+                    step_ok = step_ok & (jnp.abs(gamma) > brk_tol)
                     alpha_n = rho0_n / jnp.where(step_ok, gamma, one)
                     uall = us_n + [u_next]
                     rs_n = [
@@ -222,7 +232,7 @@ def bicgstabl(
                         tau[i][j] = conj_dot(rm[i], rm[j], axis_name) / sigma[i]
                         rm[j] = axpy(-tau[i][j], rm[i], rm[j])
                     sigma[j] = conj_dot(rm[j], rm[j], axis_name)
-                    mr_ok = mr_ok & (jnp.abs(sigma[j]) > 0)
+                    mr_ok = mr_ok & (jnp.abs(sigma[j]) > brk_tol)
                     sigma[j] = jnp.where(mr_ok, sigma[j], one)
                     gamma_p[j] = conj_dot(rm[j], rm[0], axis_name) / sigma[j]
 
@@ -259,7 +269,11 @@ def bicgstabl(
                 # iterate: r̃₀ ← r₀, u₀ ← 0, (ρ₀, α, ω) ← (1, 0, 1); two in a
                 # row without a completed cycle is a genuine breakdown.
                 rcount = jnp.where(completed, jnp.int32(0), s_.rcount + 1)
-                broke = (~completed) & (rcount >= 2)
+                # a second consecutive dead cycle is a breakdown ONLY if the
+                # boundary iterate hasn't already converged — with a
+                # near-exact M the solve finishes inside the first inner
+                # step and every later scalar sits below the rounding floor
+                broke = (~completed) & (rcount >= 2) & (r_norm_new > tol2)
                 return _State(
                     z=z,
                     r=r_new,

@@ -95,6 +95,23 @@ def minres(
     one_t = jnp.ones((), T)
     zero_r = jnp.zeros((), rdt)
 
+    def _beta_gate(beta_new2, noise_scale):
+        # β² = rᴴM⁻¹r must be real positive for a valid SPD M.  The
+        # reference's absolute-ε test (src/minres.rs:258-264) cannot tell
+        # an invalid M from LUCKY breakdown: with a near-exact M the
+        # Lanczos process terminates after one step and β² lands at
+        # cancellation-noise scale (±ε·previous-β²), which the absolute
+        # test flags as invalid.  Same self-relative form as cs_minres's
+        # gate: negative real parts and imaginary parts flag INVALID only
+        # when significant against the fp noise floor of the dot
+        # (ε · noise_scale); |β²| within the floor passes and the guarded
+        # 1/β below collapses the residual recurrence to convergence.
+        re2 = jnp.real(beta_new2)
+        return (re2 < -eps * noise_scale) | (
+            jnp.abs(jnp.imag(beta_new2))
+            > eps * jnp.maximum(jnp.abs(re2), noise_scale)
+        )
+
     def main(rhs_norm):
         threshold = tol * rhs_norm
 
@@ -106,11 +123,16 @@ def minres(
         if has_precond:
             w_new = M.matvec(v_new)
             beta_new2 = conj_dot(v_new, w_new, axis_name)
-            bad0 = (jnp.real(beta_new2) < eps) | (
-                jnp.imag(beta_new2) > eps * jnp.real(beta_new2)
-            )
+            # noise floor of the init dot: ε·‖r₁‖·‖M⁻¹r₁‖ (the magnitude
+            # of the summed terms; one extra norm2, init only)
+            noise0 = res_norm0 * norm2(w_new, axis_name)
+            bad0 = _beta_gate(beta_new2, noise0)
             beta_new0 = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
-            ts = jnp.ones((), rdt) / beta_new0
+            # guarded init scale: β₁ = 0 with r₁ = 0 is a warm start at the
+            # exact solution (cond exits before any iteration)
+            ts = jnp.where(
+                beta_new0 > 0, jnp.ones((), rdt) / beta_new0, zero_r
+            )
             v1 = rscale(ts, v_new)
             w1 = rscale(ts, w_new)
         else:
@@ -169,11 +191,12 @@ def minres(
             if has_precond:
                 w_new = M.matvec(v_new)
                 beta_new2 = conj_dot(v_new, w_new, axis_name)
-                # β-positivity gate (src/minres.rs:278-287); reference returns
-                # Err *before* touching x, so the rotation/update is skipped.
-                bad = (jnp.real(beta_new2) < eps) | (
-                    jnp.imag(beta_new2) > eps * jnp.real(beta_new2)
-                )
+                # β-positivity gate (src/minres.rs:278-287) in the
+                # self-relative form (see _beta_gate; noise scale = the
+                # previous step's β², free) — the reference returns Err
+                # *before* touching x, so the rotation/update is skipped
+                # on the bad branch; lucky breakdown passes and converges.
+                bad = _beta_gate(beta_new2, beta * beta)
                 beta_new = jnp.sqrt(jnp.maximum(jnp.real(beta_new2), 0))
             elif fused_orth:
                 beta_new = jnp.sqrt(sumsq)
@@ -183,7 +206,12 @@ def minres(
                 w_new = s_.w_new
 
             def rotate_and_update(s_):
-                ts = jnp.ones((), rdt) / beta_new
+                # guarded 1/β: β = 0 is exact (lucky) breakdown — the zero
+                # scale makes s_sin = 0, so res_norm collapses and the next
+                # check reports convergence instead of producing inf/NaN
+                ts = jnp.where(
+                    beta_new > 0, jnp.ones((), rdt) / beta_new, zero_r
+                )
                 vn = rscale(ts, v_new)
                 wn = rscale(ts, w_new) if has_precond else w_new
 

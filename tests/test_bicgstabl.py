@@ -29,6 +29,8 @@ def _dense_bicgstabl_oracle(dense, b, l, tol, max_iter, Minv=None):
         Minv = np.ones(n)
     x0 = np.zeros(n, dense.dtype)
     r = b - dense @ x0
+    # scalar-death floor, mirroring the solver's (eps*||r0||)^2 convention
+    brk = (np.linalg.norm(r) * np.finfo(dense.dtype).eps) ** 2
     rt = r.copy()
     z = np.zeros(n, dense.dtype)
     u = np.zeros(n, dense.dtype)
@@ -46,7 +48,7 @@ def _dense_bicgstabl_oracle(dense, b, l, tol, max_iter, Minv=None):
         rho1 = np.vdot(rt, rs[0])
         dead = False
         for j in range(l):
-            if rho0 == 0:
+            if abs(rho0) <= brk:
                 dead = True
                 break
             beta = alpha * rho1 / rho0
@@ -54,7 +56,7 @@ def _dense_bicgstabl_oracle(dense, b, l, tol, max_iter, Minv=None):
             us_n = [rs[i] - beta * us[i] for i in range(j + 1)]
             u_next = K(us_n[j])
             gamma = np.vdot(rt, u_next)
-            if gamma == 0:
+            if abs(gamma) <= brk:
                 dead = True
                 break
             alpha = rho0 / gamma
@@ -75,7 +77,7 @@ def _dense_bicgstabl_oracle(dense, b, l, tol, max_iter, Minv=None):
                     tau[i][j] = np.vdot(rs[i], rs[j]) / sigma[i]
                     rs[j] = rs[j] - tau[i][j] * rs[i]
                 sigma[j] = np.vdot(rs[j], rs[j])
-                if sigma[j] == 0:
+                if abs(sigma[j]) <= brk:
                     dead = True
                     break
                 gamma_p[j] = np.vdot(rs[j], rs[0]) / sigma[j]
@@ -293,3 +295,34 @@ def test_bicgstabl_distributed():
     info.raise_if_error()
     r = np.asarray(A.matvec(jnp.asarray(x, jnp.float64))) - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+
+def test_bicgstabl_near_exact_preconditioner():
+    """Regression (found by the solver×precond compatibility matrix): with
+    a near-exact M — AMG on a small system, or the exact Jacobi of a
+    diagonal matrix — the solve completes inside the first inner step; the
+    next step's scalars land at denormal scale, and a strict |.| > 0
+    liveness test passed them, amplifying rounding noise by ~1e15 into
+    (z, r) while the recurrence residual kept 'converging' (CONVERGED with
+    a true residual of 1e-2).  The (eps*||r0||)^2 floor must freeze the
+    cycle at the boundary and return the boundary iterate."""
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spla
+
+    n = 140
+    S = sps.random(n, n, density=0.04, random_state=0)
+    S = (S + sps.diags(np.abs(S).sum(axis=1).A1 + 1.0)).tocsr()
+    b = np.random.default_rng(42).standard_normal(n)
+    x, info = sp.solve(sp.csr_from_scipy(S), b, method="bicgstabl",
+                       M="amg", tol=1e-10, max_iter=2000)
+    info.raise_if_error()
+    tr = np.linalg.norm(S @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert tr < 1e-9, tr
+    # exact-M limit: diagonal system + its exact Jacobi
+    d = np.linspace(1.0, 9.0, 64)
+    D = sp.csr_from_scipy(sps.diags(d).tocsr())
+    bd = np.random.default_rng(3).standard_normal(64)
+    xd, infod = sp.solve(D, bd, method="bicgstabl", M="jacobi",
+                         tol=1e-12, max_iter=50)
+    infod.raise_if_error()
+    np.testing.assert_allclose(np.asarray(xd), bd / d, rtol=1e-10)

@@ -82,3 +82,34 @@ def test_minres_truly_indefinite():
     x, info = sp.minres(As, b, tol=1e-13, max_iter=2000)
     info.raise_if_error()
     np.testing.assert_allclose(np.asarray(x), x_direct, rtol=1e-7, atol=1e-9)
+
+
+def test_minres_near_exact_preconditioner_lucky_breakdown():
+    """Regression (found by the solver×precond compatibility matrix): with
+    a near-exact SPD M — e.g. the AMG build on a small system, where the
+    hierarchy bottoms out at the dense coarse inverse — the Lanczos
+    process terminates after one step and β² lands at cancellation-noise
+    scale.  The reference's absolute-ε gate (src/minres.rs:258-264) calls
+    that InvalidPreconditioner; the self-relative gate (ported from the
+    preconditioned CS-MINRES) must recognize lucky breakdown and converge.
+    """
+    import scipy.sparse as sps
+
+    n = 120
+    S = sps.random(n, n, density=0.04, random_state=1)
+    S = (S @ S.T + sps.eye(n) * 4.0).tocsr()
+    b = np.random.default_rng(7).standard_normal(n)
+    x, info = sp.solve(sp.csr_from_scipy(S), b, method="minres", M="amg",
+                       tol=1e-10, max_iter=200)
+    info.raise_if_error()
+    tr = np.linalg.norm(S @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert tr < 1e-9, tr
+    # exact-M limit: diagonal SPD system + its exact Jacobi, 1-2 steps
+    d = np.linspace(1.0, 9.0, 64)
+    D = sp.csr_from_scipy(sps.diags(d).tocsr())
+    bd = np.random.default_rng(8).standard_normal(64)
+    xd, infod = sp.solve(D, bd, method="minres", M="jacobi",
+                         tol=1e-12, max_iter=50)
+    infod.raise_if_error()
+    assert int(infod.iterations) <= 3
+    np.testing.assert_allclose(np.asarray(xd), bd / d, rtol=1e-10)
