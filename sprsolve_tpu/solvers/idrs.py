@@ -34,7 +34,7 @@ from jax import lax
 
 from ..errors import Status
 from ..ops.operator import IdentityOperator
-from ..vecalg import conj_dot, norm2
+from ..vecalg import axpy, conj_dot, norm2
 from .common import check_shapes, make_info
 
 
@@ -247,9 +247,17 @@ def idrs(
             )
 
         final = lax.while_loop(cond_fn, body_fn, st)
-        converged = (final.status == Status.RUNNING) & (
-            final.r_norm <= tol2
-        )
+        # measurement honesty: IDR(s)'s recurrence residual drifts from the
+        # true residual (observed ~10x at f32 on moderately conditioned
+        # systems — the s-dimensional oblique projections compound rounding
+        # faster than the two-sided Krylov recurrences).  Report, and gate
+        # CONVERGED on, the true residual of the returned iterate (one SpMV
+        # after the loop; the loop itself still exits on the cheap
+        # recurrence norm, matching the iteration-count semantics).
+        true_res = norm2(
+            axpy(-jnp.ones((), T), A.matvec(final.x), b), axis_name
+        ) / rhs_norm
+        converged = (final.status == Status.RUNNING) & (true_res <= tol)
         status = jnp.where(
             converged,
             jnp.int32(Status.CONVERGED),
@@ -259,7 +267,7 @@ def idrs(
                 final.status,
             ),
         )
-        return final.x, make_info(final.its, final.r_norm / rhs_norm, status)
+        return final.x, make_info(final.its, true_res, status)
 
     from .common import with_zero_rhs_guard
 
