@@ -72,7 +72,7 @@ class _State(NamedTuple):
     its: jax.Array          # int32
     status: jax.Array       # int32
     res: jax.Array          # real scalar: relative residual at termination
-    hist: jax.Array         # (max_iter,) per-iteration relative residuals, or (0,)
+    hist: jax.Array         # (max_iter+1,) per-iteration relative residuals, or (0,)
 
 
 def bicgstab(
@@ -108,7 +108,9 @@ def bicgstab(
     rdt = jnp.finfo(b.dtype).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype
     tol = jnp.asarray(tol, dtype=rdt)
     if record_residuals:
-        hist_len = int(max_iter)  # must be static to size the trace buffer
+        # +1: hist[i] is the residual after i iterations, and a solve
+        # can converge exactly at the max_iter-th — sized statically
+        hist_len = int(max_iter) + 1
     else:
         hist_len = 0
     max_iter = jnp.asarray(max_iter, dtype=jnp.int32)

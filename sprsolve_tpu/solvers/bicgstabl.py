@@ -70,7 +70,7 @@ class _State(NamedTuple):
     its: jax.Array      # int32 — cycles run (2ℓ SpMVs each)
     status: jax.Array   # int32
     res: jax.Array      # real scalar: relative residual at termination
-    hist: jax.Array     # (max_iter,) per-cycle relative residuals, or (0,)
+    hist: jax.Array     # (max_iter+1,) per-cycle relative residuals, or (0,)
 
 
 def bicgstabl(
@@ -108,7 +108,9 @@ def bicgstabl(
 
     rdt = jnp.finfo(b.dtype).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype
     tol = jnp.asarray(tol, dtype=rdt)
-    hist_len = int(max_iter) if record_residuals else 0
+    # +1: a solve can converge exactly at the max_iter-th cycle and the
+    # final write lands at hist[max_iter]
+    hist_len = int(max_iter) + 1 if record_residuals else 0
     max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
     T = b.dtype
     one = jnp.ones((), T)

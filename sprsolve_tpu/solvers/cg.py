@@ -74,7 +74,9 @@ def cg(
 
     rdt = jnp.finfo(b.dtype).dtype if not jnp.iscomplexobj(b) else jnp.real(b).dtype
     tol = jnp.asarray(tol, dtype=rdt)
-    hist_len = int(max_iter) if record_residuals else 0
+    # +1: the final write lands at hist[its] with its == max_iter when
+    # convergence hits exactly at the budget
+    hist_len = int(max_iter) + 1 if record_residuals else 0
     max_iter = jnp.asarray(max_iter, dtype=jnp.int32)
     eps = eps_for(b.dtype)
     T = b.dtype

@@ -98,7 +98,9 @@ def lsqr(
     rdt = jnp.real(b).dtype if jnp.iscomplexobj(b) else jnp.finfo(T).dtype
     tol = jnp.asarray(tol, rdt)
     damp_r = jnp.asarray(damp, rdt)
-    hist_len = int(max_iter) if record_residuals else 0
+    # +1: the final write lands at hist[its] with its == max_iter when
+    # convergence hits exactly at the budget
+    hist_len = int(max_iter) + 1 if record_residuals else 0
     max_iter = jnp.asarray(max_iter, jnp.int32)
     eps = eps_for(T)
     one = jnp.ones((), rdt)

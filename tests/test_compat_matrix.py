@@ -100,9 +100,9 @@ def test_f32_cells(method):
     info.raise_if_error()
     r = S @ np.asarray(x) - b
     # IDR(s)'s recurrence residual drifts from the true residual in f32
-    # (documented; ~10x at this conditioning) — the others hold 1e-4
-    lim = 1e-3 if method == "idrs" else 1e-4
-    assert np.linalg.norm(r) / np.linalg.norm(b) < lim
+    # (~10x at this conditioning), but its outer true-residual restart
+    # re-anchors the recurrence, so every method holds the same bound
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4
 
 
 def test_invalid_cells_raise_typed_errors():

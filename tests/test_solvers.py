@@ -93,7 +93,7 @@ def test_bicgstab_residual_history():
     info.raise_if_error()
     k = int(info.iterations)
     h = np.asarray(hist)
-    assert h.shape == (200,)
+    assert h.shape == (201,)  # max_iter+1: hist[i] = residual after i iters
     assert np.all(np.isfinite(h[: k + 1]))       # recorded up to termination
     assert np.all(np.isnan(h[k + 1 :]))           # untouched beyond
     assert h[k] <= 1e-14                          # last recorded == converged check
