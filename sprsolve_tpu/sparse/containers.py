@@ -38,6 +38,24 @@ def _register(cls, data_fields, meta_fields):
     return cls
 
 
+def _scatter_sum(idx, dat, size):
+    """Host-side duplicate-summing scatter: out[idx[k]] += dat[k].
+
+    ``np.bincount`` instead of ``np.add.at`` — add.at is the unbuffered
+    ufunc path (~20x slower at the multi-M-nnz sizes preconditioner setup
+    runs at; it was the dominant cost of the 1M-row multigrid hierarchy
+    build).  bincount only takes real weights, so complex sums in two
+    passes."""
+    idx = np.asarray(idx, np.int64)
+    if np.iscomplexobj(dat):
+        out = np.bincount(idx, weights=dat.real, minlength=size).astype(
+            dat.dtype
+        )
+        out += 1j * np.bincount(idx, weights=dat.imag, minlength=size)
+        return out
+    return np.bincount(idx, weights=dat, minlength=size).astype(dat.dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class COO:
     """Coordinate-format sparse matrix. Duplicate (row, col) entries sum."""
@@ -71,8 +89,12 @@ class COO:
         return CSR.from_coo(self)
 
     def todense(self) -> jax.Array:
-        out = jnp.zeros(self.shape, dtype=self.dtype)
-        return out.at[self.row, self.col].add(self.data)
+        # host-side, mirroring CSR.todense (build formats keep host arrays)
+        flat = np.asarray(self.row, np.int64) * self.shape[1] + np.asarray(
+            self.col, np.int64
+        )
+        dense = _scatter_sum(flat, np.asarray(self.data), int(np.prod(self.shape)))
+        return jnp.asarray(dense.reshape(self.shape))
 
 
 _register(COO, data_fields=("data", "row", "col"), meta_fields=("shape",))
@@ -119,18 +141,16 @@ class CSR:
         row = np.asarray(m.row)
         col = np.asarray(m.col)
         dat = np.asarray(m.data)
-        order = np.lexsort((col, row))
-        row, col, dat = row[order], col[order], dat[order]
-        # sum duplicates
+        # sum duplicates; np.unique sorts the keys, which IS the row-major
+        # (row, col) order — no separate lexsort needed
         key = row.astype(np.int64) * m.shape[1] + col
         uniq, inv = np.unique(key, return_inverse=True)
-        dat_sum = np.zeros(len(uniq), dtype=dat.dtype)
-        np.add.at(dat_sum, inv, dat)
+        dat_sum = _scatter_sum(inv, dat, len(uniq))
         row_u = (uniq // m.shape[1]).astype(np.int32)
         col_u = (uniq % m.shape[1]).astype(np.int32)
         indptr = np.zeros(m.shape[0] + 1, dtype=np.int64)
-        np.add.at(indptr, row_u + 1, 1)
-        indptr = np.cumsum(indptr)
+        counts = np.bincount(row_u, minlength=m.shape[0])
+        indptr[1:] = np.cumsum(counts)
         return CSR.from_arrays(dat_sum, col_u, indptr, m.shape)
 
     def matvec(self, x: jax.Array) -> jax.Array:
@@ -180,15 +200,28 @@ class CSR:
 
     def diagonal(self) -> jax.Array:
         """Extract the main diagonal (host-side, for preconditioner setup)."""
+        return jnp.asarray(self.diagonal_host())
+
+    def diagonal_host(self) -> np.ndarray:
+        """Main diagonal as a host array — preconditioner setup composes
+        several host-side passes and must not round-trip the device."""
         dat = np.asarray(self.data)
         on_diag = np.asarray(self.row_ids) == np.asarray(self.indices)
-        diag = np.zeros(self.shape[0], dtype=dat.dtype)
-        np.add.at(diag, np.asarray(self.row_ids)[on_diag], dat[on_diag])
-        return jnp.asarray(diag)
+        return _scatter_sum(
+            np.asarray(self.row_ids)[on_diag], dat[on_diag], self.shape[0]
+        )
 
     def todense(self) -> jax.Array:
-        out = jnp.zeros(self.shape, dtype=self.dtype)
-        return out.at[self.row_ids, self.indices].add(self.data)
+        return jnp.asarray(self.todense_host())
+
+    def todense_host(self) -> np.ndarray:
+        # host-side (build formats keep host arrays): avoids an XLA
+        # scatter compile + device round-trip on the preconditioner-setup path
+        flat = np.asarray(self.row_ids, np.int64) * self.shape[1] + np.asarray(
+            self.indices, np.int64
+        )
+        dense = _scatter_sum(flat, np.asarray(self.data), int(np.prod(self.shape)))
+        return dense.reshape(self.shape)
 
 
 _register(
@@ -302,10 +335,13 @@ class DIA:
                 "DIA is only efficient for banded/stencil matrices — use ELL"
             )
         n = m.shape[0]
-        bands = np.zeros((len(offs), n), dtype=dat.dtype)
-        off_index = {int(o): i for i, o in enumerate(offs)}
-        drow = np.array([off_index[int(o)] for o in (col - row)])
-        np.add.at(bands, (drow, row), dat)
+        # offs is sorted-unique, so searchsorted is the vectorized inverse
+        # of the offset→band-row map (a per-entry Python dict walk here was
+        # the dominant cost of multigrid setup at 1M rows)
+        drow = np.searchsorted(offs, col - row)
+        bands = _scatter_sum(drow * n + row, dat, len(offs) * n).reshape(
+            len(offs), n
+        )
         return bands, tuple(int(o) for o in offs)
 
     @staticmethod
