@@ -91,10 +91,14 @@ def _cmd_solve(args):
 
     M = args.precond if args.precond != "none" else None
     if args.method == "auto":
-        # resolve here so the report line names the method actually run
+        # resolve here so the report line names the method actually run;
+        # --refine's inner-solver set has no bicgstabl, so auto under
+        # --refine resolves to the reference-parity nonsymmetric path
         from .api import _auto_method
 
-        args.method = _auto_method(A)
+        args.method = _auto_method(
+            A, parity="reference" if args.refine else "fast"
+        )
     t0 = time.perf_counter()
     try:
         if args.refine:
@@ -150,7 +154,11 @@ def _cmd_eig(args):
     if A.shape[0] != A.shape[1]:
         print("error: eigensolver needs a square matrix", file=sys.stderr)
         return 2
+    # --which defaults by mode: --sigma implies shift-invert (LM-nearest-
+    # sigma); without a shift, LOBPCG serves the spectrum's ends (SA)
     which = args.which
+    if which is None:
+        which = "LM" if args.sigma is not None else "SA"
     if args.sigma is not None and which != "LM":
         print("error: --sigma (shift-invert) implies --which LM", file=sys.stderr)
         return 2
@@ -222,9 +230,10 @@ def main(argv=None):
     p_eig.add_argument("matrix", help="Matrix Market file for A")
     p_eig.add_argument("-k", type=int, default=6, help="number of eigenpairs")
     p_eig.add_argument(
-        "--which", default="SA", choices=["LA", "SA", "LM"],
+        "--which", default=None, choices=["LA", "SA", "LM"],
         help="LA/SA: largest/smallest algebraic (LOBPCG); "
-        "LM with --sigma: nearest sigma (shift-invert)",
+        "LM with --sigma: nearest sigma (shift-invert). "
+        "Default: LM when --sigma is given, else SA",
     )
     p_eig.add_argument(
         "--sigma", type=float, default=None,

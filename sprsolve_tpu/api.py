@@ -58,20 +58,26 @@ def _run(fn, A, b, x, max_iter, tol, M=None):
     return xr, (int(info.iterations), float(info.residual))
 
 
-def _auto_method(A) -> str:
+def _auto_method(A, parity: str = "fast") -> str:
     """Pick a solver from the matrix structure (host-side, O(nnz)):
     Hermitian — incl. real symmetric — → ``minres`` (safe for indefinite
     systems, unlike CG); complex symmetric (Aᵀ = A, non-Hermitian) →
     ``cocg``; anything else (or a non-container operator, which cannot be
-    inspected) → ``bicgstab``."""
+    inspected) → ``bicgstabl`` with ℓ=2, the measured-fastest robust
+    nonsymmetric path (6.4 ms vs 9.5-9.8 ms plain-BiCGStab at 1M rows,
+    BENCH_NOTES; robustness: the 20-seed sweep in tests/test_bicgstabl.py).
+    ``parity="reference"`` keeps plain ``bicgstab`` — the reference's own
+    nonsymmetric iteration (``src/bicg_stab.rs``) — for users who need
+    iteration-count parity with it."""
     import numpy as np
 
     from .sparse.containers import CSC, CSR
 
+    nonsym = "bicgstab" if parity == "reference" else "bicgstabl"
     if isinstance(A, CSC):
         A = A.to_csr()
     if not isinstance(A, CSR):
-        return "bicgstab"
+        return nonsym
     import scipy.sparse as sps
 
     S = sps.csr_matrix(
@@ -82,7 +88,7 @@ def _auto_method(A) -> str:
         return "lsqr"
     scale = float(abs(S).max()) if S.nnz else 0.0
     if scale == 0.0:
-        return "bicgstab"
+        return nonsym
     tol = 1e-12 * scale
 
     def _dev(X):
@@ -92,7 +98,7 @@ def _auto_method(A) -> str:
         return "minres"
     if np.iscomplexobj(np.asarray(A.data)) and _dev(S - S.T) <= tol:
         return "cocg"
-    return "bicgstab"
+    return nonsym
 
 
 _SOLVERS = {
@@ -274,7 +280,9 @@ def solve(
 
     ``method``: ``"auto"`` picks from the matrix structure (Hermitian/real
     symmetric → ``minres``, complex symmetric → ``cocg``, else
-    ``bicgstab`` — an O(nnz) host-side check),
+    ``bicgstabl`` with ℓ=2, the measured-fastest robust nonsymmetric path —
+    an O(nnz) host-side check; pass ``parity="reference"`` to get the
+    reference's plain ``bicgstab`` iteration instead),
     ``"bicgstab"`` (default), ``"bicgstabl"`` (BiCGStab(ℓ),
     accepts ``l=``; cycles of 2ℓ SpMVs with an ℓ-dimensional MR step — for
     spectra where plain BiCGStab stagnates), ``"cg"``, ``"minres"``,
@@ -299,9 +307,23 @@ def solve(
     :func:`~sprsolve_tpu.solvers.refine_solve`.
     """
     if method == "auto":
-        method = _auto_method(A)
+        method = _auto_method(A, parity=solver_kwargs.pop("parity", "fast"))
+        if method == "bicgstabl":
+            solver_kwargs.setdefault("l", 2)
     solver = _SOLVERS[method]
     b = jnp.asarray(b)
+    # validate BEFORE layout padding — pad_vec would silently zero-extend a
+    # short b to the execution layout (reference rejects mismatched dims at
+    # the API boundary: ``src/bicg_stab.rs:44-52``)
+    n = getattr(A, "shape", (None,))[0]
+    if n is not None and b.shape != (n,):
+        raise IncompatibleMatrixFormat(
+            "Input vec dimension doesn't match the matrix size"
+        )
+    if x0 is not None and n is not None and jnp.shape(x0) != (n,):
+        raise IncompatibleMatrixFormat(
+            "x0 dimension doesn't match the matrix size"
+        )
 
     op, M, padded = _prepare_op_M(A, method, M, optimize_layout)
     if method == "lsqr" and "AH" not in solver_kwargs:
@@ -432,7 +454,9 @@ def prepare(
     ``method="auto"`` picks from the matrix structure as in :func:`solve`).
     """
     if method == "auto":
-        method = _auto_method(A)
+        method = _auto_method(A, parity=solver_kwargs.pop("parity", "fast"))
+        if method == "bicgstabl":
+            solver_kwargs.setdefault("l", 2)
     solver = _SOLVERS[method]
     op, M, padded = _prepare_op_M(A, method, M, optimize_layout)
     import numpy as np

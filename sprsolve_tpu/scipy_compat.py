@@ -29,8 +29,8 @@ from .ops.operator import as_operator
 from .sparse.containers import CSR, csr_from_scipy
 
 __all__ = [
-    "aslinearoperator", "bicgstab", "cg", "eigsh", "gmres", "lobpcg", "lsqr",
-    "minres",
+    "aslinearoperator", "bicgstab", "cg", "cgs", "eigsh", "gmres", "lobpcg",
+    "lsqr", "minres", "tfqmr",
 ]
 
 
@@ -281,6 +281,20 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "LM", v0=None,
         )
         order = jnp.argsort(w)
         w, v = w[order], v[:, order]
+        # scipy's eigsh returns exactly k pairs or raises
+        # ArpackNoConvergence; shift_invert_eigs's dedupe/side filter can
+        # select fewer when < k distinct pairs converged near sigma —
+        # mirror scipy's contract instead of silently returning a short
+        # array (ADVICE r3)
+        if w.shape[0] < k:
+            from scipy.sparse.linalg import ArpackNoConvergence
+
+            raise ArpackNoConvergence(
+                f"eigsh(sigma={sigma}): only {w.shape[0]} of {k} requested "
+                "eigenpairs converged (try a larger maxiter, looser tol, or "
+                "a different sigma)",
+                np.asarray(w), np.asarray(v),
+            )
     if return_eigenvectors:
         return np.asarray(w), np.asarray(v)
     return np.asarray(w)

@@ -54,6 +54,19 @@ def test_dimension_mismatch_raises():
         sp.bicgstab(A, jnp.zeros(100), jnp.zeros(50), tol=1e-10, max_iter=10)
 
 
+def test_solve_dimension_mismatch_raises():
+    # the high-level entry must reject a short/long b BEFORE layout padding
+    # (pad_vec would otherwise silently zero-extend it) — parity with the
+    # reference's API-boundary check, src/bicg_stab.rs:44-52
+    A, rhs = _laplacian_10()
+    with pytest.raises(IncompatibleMatrixFormat):
+        sp.solve(A, rhs[:-1])
+    with pytest.raises(IncompatibleMatrixFormat):
+        sp.solve(A, jnp.concatenate([jnp.asarray(rhs), jnp.zeros(3)]))
+    with pytest.raises(IncompatibleMatrixFormat):
+        sp.solve(A, rhs, x0=jnp.zeros(50))
+
+
 def test_insufficient_iterations():
     A, rhs = _laplacian_10()
     with pytest.raises(InsufficientIterNum):

@@ -157,8 +157,9 @@ def test_prepare_complex_padded_planes():
 
 def test_auto_method_structure_dispatch():
     """method='auto': Hermitian/real-symmetric -> minres, complex
-    symmetric -> cocg, nonsymmetric -> bicgstab, rectangular -> lsqr,
-    operators (uninspectable) -> bicgstab."""
+    symmetric -> cocg, nonsymmetric -> bicgstabl (the measured-fastest
+    robust path; parity='reference' keeps plain bicgstab), rectangular ->
+    lsqr, operators (uninspectable) -> bicgstabl."""
     from sprsolve_tpu.api import _auto_method
 
     Asym = problems.poisson3d(6, 6, 6, dtype=np.float64)
@@ -170,9 +171,31 @@ def test_auto_method_structure_dispatch():
     rng = np.random.default_rng(0)
     dense = rng.standard_normal((40, 40)) * (rng.random((40, 40)) < 0.2)
     dense += np.eye(40) * 5
-    assert _auto_method(sp.csr_from_dense(dense)) == "bicgstab"
+    Ansym = sp.csr_from_dense(dense)
+    assert _auto_method(Ansym) == "bicgstabl"
+    assert _auto_method(Ansym, parity="reference") == "bicgstab"
     assert _auto_method(sp.csr_from_dense(rng.standard_normal((30, 12)))) == "lsqr"
-    assert _auto_method(Asym.to_dia()) == "bicgstab"  # operator: no inspection
+    assert _auto_method(Asym.to_dia()) == "bicgstabl"  # operator: no inspection
+    assert _auto_method(Asym.to_dia(), parity="reference") == "bicgstab"
+
+
+def test_solve_auto_nonsymmetric_routes_fast_path():
+    # auto on a nonsymmetric system runs BiCGStab(2) by default and
+    # converges; parity="reference" runs plain BiCGStab (VERDICT r3 #6)
+    rng = np.random.default_rng(7)
+    dense = rng.standard_normal((60, 60)) * (rng.random((60, 60)) < 0.15)
+    dense += np.eye(60) * 8
+    A = sp.csr_from_dense(dense)
+    b = rng.standard_normal(60)
+    x, info = sp.solve(A, b, method="auto", tol=1e-9, max_iter=300)
+    info.raise_if_error()
+    r = dense @ np.asarray(x) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+    xr, infor = sp.solve(A, b, method="auto", parity="reference", tol=1e-9,
+                         max_iter=300)
+    infor.raise_if_error()
+    rr = dense @ np.asarray(xr) - b
+    assert np.linalg.norm(rr) / np.linalg.norm(b) < 1e-8
 
 
 def test_solve_method_auto_end_to_end():
