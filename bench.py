@@ -160,6 +160,30 @@ def solve_report(name, info, tol, t_iter):
     return st == "CONVERGED"
 
 
+def roofline_line(name, t, n_items, nom_bytes, ach_bytes, unit="Gnnz/s"):
+    """One SpMV line with BOTH byte models (VERDICT r3 #3 — every line):
+
+    nominal  — every stream at its logical f32/f64 width; comparable
+               across layouts and rounds.
+    achieved — the bytes the kernel actually moves (narrow band storage,
+               block zero-fill, plane duplication); the MFU — fraction of
+               HBM speed on real traffic — must use this model.  Byte
+               models here EXCLUDE fused intermediates (einsum products
+               consumed by a following segment-sum etc.), so the printed
+               MFU is a lower bound — never flattered.
+    """
+    thr = n_items / t
+    roof_n = HBM_GBPS * 1e9 * n_items / nom_bytes
+    roof_a = HBM_GBPS * 1e9 * n_items / ach_bytes
+    log(
+        f"{name}: {t*1e3:.3f} ms -> {thr/1e9:.2f} {unit} | "
+        f"nominal {nom_bytes/n_items:.2f} B -> {100*thr/roof_n:.0f}% of "
+        f"{roof_n/1e9:.1f} | achieved {ach_bytes/n_items:.2f} B "
+        f"({ach_bytes/t/1e9:.0f} GB/s) -> MFU {100*thr/roof_a:.0f}%"
+    )
+    return thr
+
+
 def main():
     import jax
 
@@ -176,7 +200,11 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    n_side = 100  # 1M rows, ~6.94M nnz
+    import os
+
+    # BENCH_N overrides the grid side for CPU smoke tests of the harness
+    # itself (the published numbers always use the default 100 -> 1M rows)
+    n_side = int(os.environ.get("BENCH_N", "100"))
     t0 = time.perf_counter()
     A = problems.poisson3d(n_side, n_side, n_side, dtype=np.float32)
     n = A.shape[0]
@@ -190,9 +218,11 @@ def main():
 
     # --- DIA path (stencil fast path: contiguous shifted slices, no gather)
     dia = A.to_dia()
+    nbands = dia.bands.shape[0]
     t_dia = time_spmv(spmv_dia, dia, x, iters=500)
     results["dia"] = t_dia
-    log(f"spmv DIA: {t_dia*1e3:.3f} ms  -> {nnz/t_dia/1e9:.2f} Gnnz/s")
+    b_dia = nbands * n * 4 + 2 * n * 4  # bands f32 + x + y
+    roofline_line("spmv DIA (XLA)", t_dia, nnz, b_dia, b_dia)
 
     # --- ELL path (general sparsity: explicit index gather)
     ell = A.to_ell()
@@ -200,7 +230,8 @@ def main():
     # dispatch noise, and 200 iterations cost half a minute of bench time)
     t_ell = time_spmv(spmv_ell, ell, x, iters=20)
     results["ell"] = t_ell
-    log(f"spmv ELL: {t_ell*1e3:.3f} ms  -> {nnz/t_ell/1e9:.2f} Gnnz/s")
+    b_ell = (ell.k * n * 2 + 2 * n) * 4  # data f32 + cols i32 + x + y
+    roofline_line("spmv ELL (XLA gather)", t_ell, nnz, b_ell, b_ell)
 
     # --- Pallas kernel path: layout conversion once (the mkl_sparse_optimize
     # analog), then SpMV in the kernel's padded 2-D layout.
@@ -214,7 +245,12 @@ def main():
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-4)
         t_pk = time_spmv(lambda p, v: p.matvec(v), pdia, x2, iters=2000)
         results["dia_pallas"] = t_pk
-        log(f"spmv DIA-pallas: {t_pk*1e3:.3f} ms  -> {nnz/t_pk/1e9:.2f} Gnnz/s")
+        isz = int(np.dtype(pdia.bands3.dtype).itemsize)
+        roofline_line(
+            "spmv DIA-pallas", t_pk, nnz,
+            nbands * n * 4 + 2 * n * 4,    # nominal: f32 bands
+            nbands * n * isz + 2 * n * 4,  # achieved: stored band width
+        )
     except Exception as e:  # pragma: no cover - kernel may regress on hw
         log(f"pallas path unavailable: {type(e).__name__}: {e}")
 
@@ -322,12 +358,17 @@ def main():
     # preconditioner is the 2-color masked sweep running through the Pallas
     # DIA kernel; also a Jacobi-vs-GS-vs-MG crossover at a tight tolerance.
     M_gs = None
+    setup_s = {"jacobi": 0.0}  # precond setup cost, amortization table below
     try:
+        t0 = time.perf_counter()
         colors = sp.greedy_color(A)
         masks_p = tuple(pdia_s.pad_vec(m) for m in sp.color_masks(colors))
         M_gs = sp.MaskedGSPrecond(
             A=pdia_s, diag=pdia_s.diagonal_padded(), masks=masks_p, sweeps=1
         )
+        setup_s["gs-2color"] = time.perf_counter() - t0
+        log(f"precond setup gs-2color (greedy coloring + masks): "
+            f"{setup_s['gs-2color']:.2f}s")
 
         def build_gs(mi, tol):
             return jax.jit(
@@ -350,8 +391,11 @@ def main():
 
         t0 = time.perf_counter()
         M_mg = GridMGPrecond.from_csr(A, (n_side, n_side, n_side))
-        log(f"multigrid hierarchy built in {time.perf_counter()-t0:.1f}s")
+        setup_s["multigrid"] = time.perf_counter() - t0
+        log(f"precond setup multigrid (Galerkin hierarchy): "
+            f"{setup_s['multigrid']:.2f}s")
         tight = 1e-6
+        per_solve = {}  # name -> per-solve compute time at tight tol
         cross_cfgs = [
             ("jacobi", pdia_s, b2s, M_pal, 1500),
             ("gs-2color", pdia_s, b2s, M_gs, 800),
@@ -369,8 +413,9 @@ def main():
             t_x = time_solve_periter(
                 lambda mi: build_x(mi, 0.0), iters_forced=forced
             )
-            solve_report(f"crossover bicgstab+{cname} 1M tol {tight:g}",
-                         info_x, tight, t_x)
+            if solve_report(f"crossover bicgstab+{cname} 1M tol {tight:g}",
+                            info_x, tight, t_x):
+                per_solve[cname] = int(info_x.iterations) * t_x
 
         # MG runs on the flat XLA-DIA operator (hierarchy levels are flat)
         def build_mg(mi, tol):
@@ -380,8 +425,25 @@ def main():
 
         _, info_mg = build_mg(200, tight)()
         t_mg = time_solve_periter(lambda mi: build_mg(mi, 0.0), iters_forced=60)
-        solve_report(f"crossover bicgstab+multigrid 1M tol {tight:g}",
-                     info_mg, tight, t_mg)
+        if solve_report(f"crossover bicgstab+multigrid 1M tol {tight:g}",
+                        info_mg, tight, t_mg):
+            per_solve["multigrid"] = int(info_mg.iterations) * t_mg
+
+        # amortization: setup is paid once per matrix; a stronger
+        # preconditioner only wins once (setup Δ)/(per-solve saving) solves
+        # have amortized it (VERDICT r3 #2 — no table may hide setup cost)
+        if "multigrid" in per_solve and "jacobi" in per_solve:
+            save = per_solve["jacobi"] - per_solve["multigrid"]
+            if save > 0:
+                be = (setup_s["multigrid"] - setup_s["jacobi"]) / save
+                log(f"amortization: multigrid setup {setup_s['multigrid']:.2f}s"
+                    f" / saving {save*1e3:.1f} ms/solve vs jacobi -> "
+                    f"break-even at {be:.0f} solves of this matrix")
+            else:
+                log(f"amortization: multigrid saves nothing per solve at tol "
+                    f"{tight:g} (jacobi {per_solve['jacobi']*1e3:.1f} ms vs "
+                    f"mg {per_solve['multigrid']*1e3:.1f} ms) — setup "
+                    f"{setup_s['multigrid']:.2f}s is pure cost here")
     except Exception as e:
         log(f"crossover bench unavailable: {type(e).__name__}: {e}")
 
@@ -426,8 +488,15 @@ def main():
         for _ in range(2):
             t0 = time.perf_counter(); crun(1000); ts_all.append(time.perf_counter() - t0)
         t_c = max((min(ts_all) - measure_rtt()) / 1000, 1e-9)
-        gb = (2 * dia.bands.shape[0] * n + 4 * n) * 4 / t_c / 1e9
-        log(f"spmv c64 two-plane: {t_c*1e3:.3f} ms -> {nnz/t_c/1e9:.2f} Gcnnz/s ({gb:.0f} GB/s)")
+        isz_c = int(np.dtype(cop.re.bands3.dtype).itemsize) + int(
+            np.dtype(cop.im.bands3.dtype).itemsize
+        )  # re+im planes narrow independently
+        roofline_line(
+            "spmv c64 two-plane DIA", t_c, nnz,
+            2 * nbands * n * 4 + 4 * n * 4,   # nominal: 2 f32 band planes + xr/xi/yr/yi
+            nbands * n * isz_c + 4 * n * 4,   # achieved: stored plane widths
+            unit="Gcnnz/s",
+        )
     except Exception as e:
         log(f"complex spmv unavailable: {type(e).__name__}: {e}")
 
@@ -602,9 +671,15 @@ def main():
         assert isinstance(_bsr_of(op_g), BSR), type(op_g)
         xg = jnp.asarray(rgen.standard_normal(nG).astype(np.float32))
         t_bsr = time_spmv(lambda o, v: o.matvec(v), _bsr_of(op_g), xg, iters=200)
-        log(
-            f"spmv general (block-random 65k, optimize→BSR): {t_bsr*1e3:.3f} ms "
-            f"-> {Ag.nnz/t_bsr/1e9:.2f} Gnnz/s"
+        bsr_op = _bsr_of(op_g)
+        # nominal: the logical f32 CSR stream (data + col i32 + x + y);
+        # achieved: dense blocks incl. zero-fill + row-granular x gather +
+        # y (einsum→segment-sum intermediates excluded → MFU lower bound)
+        roofline_line(
+            "spmv general f32 (block-random 65k, optimize→BSR)", t_bsr,
+            Ag.nnz,
+            Ag.nnz * 8 + 2 * nG * 4,
+            bsr_op.nblk * bsr_op.bs * (bsr_op.bs + 1) * 4 + bsr_op.padded_dim * 4,
         )
 
         # unstructured COMPLEX through optimize() → two-plane ComplexBSR
@@ -630,9 +705,14 @@ def main():
             lambda o, v: jnp.stack(o._planes_matvec(v[0], v[1])),
             cb, jnp.stack([xgr, xgi]), iters=100,
         )
-        log(
-            f"spmv general c64 (block-random 65k, optimize→ComplexBSR): "
-            f"{t_cbsr*1e3:.3f} ms -> {Agc.nnz/t_cbsr/1e9:.2f} Gcnnz/s"
+        # achieved: BOTH block planes (the intrinsic 2x of complex — each
+        # cnnz stores re+im) + one stacked 2-plane x gather + 2 y planes
+        roofline_line(
+            "spmv general c64 (block-random 65k, optimize→ComplexBSR)",
+            t_cbsr, Agc.nnz,
+            Agc.nnz * 12 + 4 * nG * 4,  # nominal: c64 data + col i32 + x/y c64
+            2 * cb.nblk * cb.bs * (cb.bs + 1) * 4 + 2 * cb.padded_dim * 4,
+            unit="Gcnnz/s",
         )
     except Exception as e:
         log(f"general-sparsity bench unavailable: {type(e).__name__}: {e}")
@@ -654,18 +734,91 @@ def main():
             log(f"spmv DIA f64: degenerate reading discarded "
                 f"({t64*1e3:.4f} ms implies {gb64/1e9:.0f} GB/s)")
         else:
-            log(
-                f"spmv DIA f64 (262k rows, XLA): {t64*1e3:.3f} ms "
-                f"-> {A64.nnz/t64/1e9:.2f} Gnnz/s"
-            )
+            b64 = dia64.bands.shape[0] * A64.shape[0] * 8 + 2 * A64.shape[0] * 8
+            roofline_line("spmv DIA f64 (262k rows, XLA)", t64, A64.nnz,
+                          b64, b64)
     except Exception as e:
         log(f"f64 bench unavailable: {type(e).__name__}: {e}")
     finally:
         jax.config.update("jax_enable_x64", False)
 
-    # --- optional large-scale single-chip check (~10M rows, BENCH_LARGE=1)
-    import os
+    # --- eigensolver surface on chip (VERDICT r3 #4: the library claims
+    # LOBPCG/shift-invert; this measures them). LOBPCG smallest-4 on the
+    # 1M-row Poisson (XLA DIA operator — the block matvec is vmapped);
+    # shift-invert nearest-sigma on the 262k-row Poisson with the inner
+    # MINRES cost split out.
+    try:
+        from sprsolve_tpu.solvers import lobpcg
 
+        k_e = 4
+        X0e = jnp.asarray(rng.standard_normal((n, k_e)).astype(np.float32))
+        run_lob = jax.jit(
+            lambda a, x0: lobpcg(a, x0, tol=5e-4, max_iter=80)
+        )
+        lam_e, _, info_e = run_lob(dia, X0e)
+        jax.block_until_ready(lam_e)
+        t0 = time.perf_counter()
+        lam_e, _, info_e = run_lob(dia, X0e)
+        float(lam_e[0])
+        t_lob = time.perf_counter() - t0 - measure_rtt()
+        it_e = max(int(info_e.iterations), 1)
+        from sprsolve_tpu.errors import Status as _St
+
+        log(
+            f"eigen lobpcg 1M k={k_e} (smallest, XLA DIA): "
+            f"{_St(int(info_e.status)).name} {it_e} iters, worst rel-res "
+            f"{float(info_e.residual):.2e}, {t_lob:.2f}s total -> "
+            f"{t_lob/it_e*1e3:.1f} ms/iter; lam[0..1]="
+            f"{float(lam_e[0]):.3e},{float(lam_e[1]):.3e}"
+        )
+    except Exception as e:
+        log(f"eigen lobpcg bench unavailable: {type(e).__name__}: {e}")
+
+    try:
+        from sprsolve_tpu.solvers import minres as _minres_fn
+        from sprsolve_tpu.solvers import shift_invert_eigs
+
+        si_side = min(64, n_side)  # 262k rows at the default n_side
+        A_si = problems.poisson3d(si_side, si_side, si_side, dtype=np.float32)
+        sigma_si = 1.0
+        t0 = time.perf_counter()
+        lam_si, _, info_si = shift_invert_eigs(
+            A_si, 4, sigma_si, tol=5e-4, max_iter=30, inner_max_iter=200,
+        )
+        jax.block_until_ready(lam_si)
+        t_si = time.perf_counter() - t0
+        it_si = max(int(info_si.iterations), 1)
+        # inner-solve split: one MINRES apply of (A - sigma I)^-1 at the
+        # inner tolerance is the unit of work each LOBPCG step pays k times
+        from sprsolve_tpu.ops.operator import ShiftedOperator
+
+        dia_si = A_si.to_dia()
+        vin = jnp.asarray(
+            rng.standard_normal(A_si.shape[0]).astype(np.float32)
+        )
+        sh_op = ShiftedOperator(A=dia_si, shift=jnp.float32(sigma_si))
+        run_in = jax.jit(
+            lambda v: _minres_fn(sh_op, v, tol=5e-6, max_iter=200)
+        )
+        x_in, info_in = run_in(vin)
+        jax.block_until_ready(x_in)
+        t0 = time.perf_counter()
+        x_in, info_in = run_in(vin)
+        float(x_in[0])
+        t_inner = time.perf_counter() - t0 - measure_rtt()
+        log(
+            f"eigen shift-invert {A_si.shape[0]} rows k=4 sigma={sigma_si}: "
+            f"{_St(int(info_si.status)).name} {it_si} LOBPCG iters, worst "
+            f"rel-res {float(info_si.residual):.2e}, {t_si:.1f}s total "
+            f"(incl. compile); inner minres apply: "
+            f"{int(info_in.iterations)} iters, {t_inner*1e3:.0f} ms -> "
+            f"~{4*t_inner*1e3:.0f} ms/LOBPCG-step inner cost (k=4); "
+            f"lam nearest: {float(lam_si[0]):.4f}"
+        )
+    except Exception as e:
+        log(f"eigen shift-invert bench unavailable: {type(e).__name__}: {e}")
+
+    # --- optional large-scale single-chip check (~10M rows, BENCH_LARGE=1)
     if os.environ.get("BENCH_LARGE") == "1":
         try:
             from sprsolve_tpu.ops.pallas_spmv import PaddedDIA
