@@ -42,6 +42,7 @@ from .solvers import (
     block_cg,
     color_masks,
     cg,
+    cg_single_sync,
     cgs,
     cocg,
     cs_minres,
@@ -77,6 +78,7 @@ __all__ = [
     "bicgstab",
     "block_cg",
     "cg",
+    "cg_single_sync",
     "gmres",
     "idrs",
     "lobpcg",

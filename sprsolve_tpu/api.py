@@ -34,6 +34,7 @@ from .solvers import (
     bicgstab,
     bicgstabl,
     cg,
+    cg_single_sync,
     cgs,
     cocg,
     cs_minres,
@@ -105,6 +106,7 @@ _SOLVERS = {
     "bicgstab": bicgstab,
     "bicgstabl": bicgstabl,
     "cg": cg,
+    "cg_single_sync": cg_single_sync,
     "cgs": cgs,
     "cocg": cocg,
     "minres": minres,

@@ -5,7 +5,7 @@
 from .bicgstab import bicgstab
 from .bicgstabl import bicgstabl
 from .block_cg import batched, block_cg
-from .cg import cg
+from .cg import cg, cg_single_sync
 from .gmres import gmres
 from .idrs import idrs
 from .lobpcg import lobpcg
@@ -34,6 +34,7 @@ __all__ = [
     "batched",
     "block_cg",
     "cg",
+    "cg_single_sync",
     "gmres",
     "idrs",
     "lobpcg",

@@ -103,6 +103,21 @@ def while_body_collective_bytes(hlo_text: str) -> dict:
     return per_iter
 
 
+def while_body_collective_counts(hlo_text: str) -> dict:
+    """{op_kind: instruction count} summed over every while-loop body — the
+    number of per-iteration synchronization rounds (each all-reduce is one
+    mesh-wide latency hit regardless of its payload, so the COUNT — not the
+    bytes — is what a reduced-synchronization solver like
+    ``cg_single_sync`` changes)."""
+    summary = collective_summary(hlo_text)
+    bodies = body_computations(hlo_text)
+    per_iter: dict = {}
+    for cname in bodies:
+        for kind, (cnt, _byts) in summary.get(cname, {}).items():
+            per_iter[kind] = per_iter.get(kind, 0) + cnt
+    return per_iter
+
+
 def independent_of_permutes(lines) -> tuple:
     """(n_total, n_independent): instructions with no transitive data
     dependence on any collective-permute result — the overlap-legal set."""
