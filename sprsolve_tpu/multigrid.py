@@ -209,7 +209,12 @@ class GridMGPrecond:
 
     def _cycle(self, lvl, r):
         if lvl == len(self.ops):
-            return self.coarse_inv.astype(r.dtype) @ r
+            # HIGHEST: the MXU's default bf16 inputs would smear the
+            # coarse correction (and with it the V-cycle's contraction)
+            return jnp.matmul(
+                self.coarse_inv.astype(r.dtype), r,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         z = self._smooth(lvl, r, None, self.nu1, skip_first_matvec=True)
         res = r - self.ops[lvl].matvec(z)
         zc = self._cycle(lvl + 1, restrict_grid(res, self.grids[lvl]))

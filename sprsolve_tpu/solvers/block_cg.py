@@ -106,9 +106,13 @@ def block_cg(
             s = lax.psum(s, axis_name)
         return jnp.sqrt(s).astype(rdt)
 
+    # HIGHEST precision: the MXU's default bf16 inputs put ~1e-2 relative
+    # error in million-row Gram/update matmuls (same fix as lobpcg/gmres)
+    _hp = jax.lax.Precision.HIGHEST
+
     def _gram(U, V):
         """(k, k) = Uᴴ·V — one MXU matmul (+ psum when row-partitioned)."""
-        G = jnp.conj(U.T) @ V
+        G = jnp.matmul(jnp.conj(U.T), V, precision=_hp)
         if axis_name is not None:
             G = lax.psum(G, axis_name)
         return G
@@ -142,11 +146,11 @@ def block_cg(
         # α, β via one factorization of S (k×k — negligible)
         PR = _gram(s.P, s.R)
         alpha = jnp.linalg.solve(S, PR)
-        X = s.X + s.P @ alpha
-        R = s.R - Q @ alpha
+        X = s.X + jnp.matmul(s.P, alpha, precision=_hp)
+        R = s.R - jnp.matmul(Q, alpha, precision=_hp)
         Z = _apply_M(M, R)
         beta = -jnp.linalg.solve(S, _gram(Q, Z))
-        P = Z + s.P @ beta
+        P = Z + jnp.matmul(s.P, beta, precision=_hp)
         # non-PD detection: diagonal of the (jittered) Gram must stay positive
         ok = jnp.all(jnp.real(jnp.diagonal(S)) > 0)
         return _State(

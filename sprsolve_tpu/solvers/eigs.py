@@ -186,15 +186,21 @@ def shift_invert_eigs(
             )
 
     passes = {"both": (True, False), "above": (True,), "below": (False,)}[side]
+    # μ-space LOBPCG runs a decade tighter than the user's tol: the
+    # 1/(λ−σ) transform dilates residuals by an O(1-10) factor near σ, and
+    # the CONVERGED gate below is the MEASURED A-residual ≤ tol (strict —
+    # no proxy, no fudge factor), so the inner pass must overshoot a bit.
+    # LOBPCG converges superlinearly at the end; the margin costs ~1-2
+    # iterations.
     run = jax.jit(
-        partial(lobpcg, tol=tol, max_iter=max_iter), static_argnames="largest"
+        partial(lobpcg, tol=tol / 10, max_iter=max_iter),
+        static_argnames="largest",
     )
 
-    cand_vecs, total_its, any_converged = [], 0, False
+    cand_vecs, total_its = [], 0
     for largest in passes:
         _, Xp, info_p = run(inv, X0, largest=largest)
         total_its += int(info_p.iterations)
-        any_converged |= int(info_p.status) == int(Status.CONVERGED)
         cand_vecs.append(np.asarray(Xp))
 
     # merge host-side: Rayleigh quotients on the ORIGINAL operator, dedupe
@@ -226,9 +232,15 @@ def shift_invert_eigs(
     lam = jnp.asarray(np.array(lam_sel))
     X = jnp.asarray(Xnp[:, sel])
     worst = float(np.max(rel_sel)) if rel_sel else float("inf")
+    # CONVERGED is gated on the DIRECTLY MEASURED residuals of the returned
+    # pairs on the original A — not on the inner LOBPCG passes' μ-space
+    # status: the μ-iteration routinely hits its budget while the Rayleigh
+    # quotients on A are already within tol (observed on chip at 262k), and
+    # conversely a converged μ-pass with sloppy inner solves could still
+    # return bad pairs. The measurement is the contract.
     status = (
         Status.CONVERGED
-        if (len(sel) == k and any_converged and worst <= 10 * tol)
+        if (len(sel) == k and worst <= tol)
         else Status.INSUFFICIENT_ITER
     )
     info = SolveInfo(

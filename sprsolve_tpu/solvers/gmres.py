@@ -104,9 +104,14 @@ def gmres(
     size = b.size             # local flat length (per shard under shard_map)
     arange_m1 = jnp.arange(m + 1)
 
+    # MXU default precision is bf16 inputs: at 1M-row scale that costs
+    # ~1e-2 relative error in the Arnoldi projections and CGS2 loses
+    # orthogonality — all basis matmuls run at HIGHEST (same fix as lobpcg)
+    _hp = jax.lax.Precision.HIGHEST
+
     def _basis_dots(V, w):
         """h[i] = conj(V[i])·w for the whole basis in one MXU matmul."""
-        h = jnp.conj(V) @ w
+        h = jnp.matmul(jnp.conj(V), w, precision=_hp)
         if axis_name is not None:
             h = lax.psum(h, axis_name)
         return h
@@ -132,9 +137,9 @@ def gmres(
                 # of (m+1, size) matmuls → MXU work, no sequential dots
                 mask = (arange_m1 <= j).astype(rdt)
                 h1 = mask * _basis_dots(s.V, w)
-                w = w - h1 @ s.V
+                w = w - jnp.matmul(h1, s.V, precision=_hp)
                 h2 = mask * _basis_dots(s.V, w)
-                w = w - h2 @ s.V
+                w = w - jnp.matmul(h2, s.V, precision=_hp)
                 h = h1 + h2
 
                 wn2 = conj_dot(w, w, axis_name)
@@ -235,7 +240,7 @@ def gmres(
             gm = jnp.where(idx < k, fin.g[:m], jnp.zeros((), T))
             y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
 
-            dz = (y @ fin.V[:m]).reshape(vshape)
+            dz = jnp.matmul(y, fin.V[:m], precision=_hp).reshape(vshape)
             dx = M.matvec(dz) if M is not None else dz
             x = s.x + dx
 

@@ -144,74 +144,82 @@ def lobpcg(
     tol = jnp.asarray(tol, rdt)
     max_iter = jnp.asarray(max_iter, jnp.int32)
 
-    def rayleigh_ritz(S):
-        """Orthonormalize S, project A, solve the small Hermitian problem.
+    # TPU correctness at scale: the block algebra below (QR, Gram products,
+    # basis recombinations) is (n, 3k)-shaped matmuls that XLA would run at
+    # the MXU's default bf16 input precision — at n ~ 1e6 that puts ~1e-2
+    # relative error in the Rayleigh-Ritz projections, and the residuals
+    # never drop (observed on chip at 1M rows: res stuck at ~1.0 while the
+    # Ritz values were already correct). Trace everything at HIGHEST; the
+    # cost is negligible next to the SpMM.
+    with jax.default_matmul_precision("highest"):
+        def rayleigh_ritz(S):
+            """Orthonormalize S, project A, solve the small Hermitian problem.
 
-        Returns (X, λ, A·X); A·X = (A·Q)·Y reuses the projection's SpMM, so
-        the whole iteration applies A exactly once (on the (n, 3k) basis)."""
-        Q, _ = jnp.linalg.qr(S)
-        AQ = _matmat(A, Q)
-        Tm = Q.conj().T @ AQ
-        Tm = (Tm + Tm.conj().T) * jnp.asarray(0.5, rdt)
-        evals, V = jnp.linalg.eigh(Tm)  # ascending
-        if largest:
-            sel = slice(Tm.shape[0] - k, None)
-            lam = evals[sel][::-1]
-            Y = V[:, sel][:, ::-1]
-        else:
-            lam = evals[:k]
-            Y = V[:, :k]
-        return Q @ Y, lam, AQ @ Y
+            Returns (X, λ, A·X); A·X = (A·Q)·Y reuses the projection's SpMM, so
+            the whole iteration applies A exactly once (on the (n, 3k) basis)."""
+            Q, _ = jnp.linalg.qr(S)
+            AQ = _matmat(A, Q)
+            Tm = Q.conj().T @ AQ
+            Tm = (Tm + Tm.conj().T) * jnp.asarray(0.5, rdt)
+            evals, V = jnp.linalg.eigh(Tm)  # ascending
+            if largest:
+                sel = slice(Tm.shape[0] - k, None)
+                lam = evals[sel][::-1]
+                Y = V[:, sel][:, ::-1]
+            else:
+                lam = evals[:k]
+                Y = V[:, :k]
+            return Q @ Y, lam, AQ @ Y
 
-    key0 = jax.random.key(0)
-    X, lam, AX = rayleigh_ritz(X0)
-    P0 = _safe_colnormalize(
-        jnp.zeros_like(X), jax.random.fold_in(key0, 0), rdt, tiny
-    )
-
-    def residual_info(X_, lam_, AX_):
-        R = AX_ - X_ * lam_[None, :].astype(T)
-        scale = jnp.abs(lam_) + jnp.max(jnp.abs(lam_))
-        rel = _col_norms(R, rdt) / jnp.maximum(scale, tiny)
-        # the wanted pairs occupy the first k_want columns in both search
-        # directions; buffer columns never gate convergence
-        return R, jnp.max(rel[:k_want])
-
-    _, res0 = residual_info(X, lam, AX)
-    st = _State(
-        X=X, AX=AX, P=P0, lam=lam, resmax=res0, its=jnp.int32(0), key=key0
-    )
-
-    def cond_fn(s_):
-        return (s_.its < max_iter) & (s_.resmax > tol)
-
-    def body_fn(s_):
-        R, _ = residual_info(s_.X, s_.lam, s_.AX)
-        W = R if M is None else _matmat(M, R)
-        key = jax.random.fold_in(s_.key, s_.its + 1)
-        W = _safe_colnormalize(W, jax.random.fold_in(key, 17), rdt, tiny)
-        S = jnp.concatenate([s_.X, W, s_.P], axis=1)
-        X_new, lam_new, AX_new = rayleigh_ritz(S)
-        P_new = X_new - s_.X @ (s_.X.conj().T @ X_new)
-        P_new = _safe_colnormalize(P_new, jax.random.fold_in(key, 29), rdt, tiny)
-        _, resmax = residual_info(X_new, lam_new, AX_new)
-        return _State(
-            X=X_new, AX=AX_new, P=P_new, lam=lam_new, resmax=resmax,
-            its=s_.its + 1, key=s_.key,
+        key0 = jax.random.key(0)
+        X, lam, AX = rayleigh_ritz(X0)
+        P0 = _safe_colnormalize(
+            jnp.zeros_like(X), jax.random.fold_in(key0, 0), rdt, tiny
         )
 
-    final = lax.while_loop(cond_fn, body_fn, st)
-    status = jnp.where(
-        final.resmax <= tol,
-        jnp.int32(Status.CONVERGED),
-        jnp.int32(Status.INSUFFICIENT_ITER),
-    )
-    # return the wanted pairs ascending regardless of search direction,
-    # scipy-style (buffer columns are iteration scaffolding, not results)
-    lam_w, X_w = final.lam[:k_want], final.X[:, :k_want]
-    order = jnp.argsort(lam_w)
-    return (
-        lam_w[order],
-        X_w[:, order],
-        make_info(final.its, final.resmax, status),
-    )
+        def residual_info(X_, lam_, AX_):
+            R = AX_ - X_ * lam_[None, :].astype(T)
+            scale = jnp.abs(lam_) + jnp.max(jnp.abs(lam_))
+            rel = _col_norms(R, rdt) / jnp.maximum(scale, tiny)
+            # the wanted pairs occupy the first k_want columns in both search
+            # directions; buffer columns never gate convergence
+            return R, jnp.max(rel[:k_want])
+
+        _, res0 = residual_info(X, lam, AX)
+        st = _State(
+            X=X, AX=AX, P=P0, lam=lam, resmax=res0, its=jnp.int32(0), key=key0
+        )
+
+        def cond_fn(s_):
+            return (s_.its < max_iter) & (s_.resmax > tol)
+
+        def body_fn(s_):
+            R, _ = residual_info(s_.X, s_.lam, s_.AX)
+            W = R if M is None else _matmat(M, R)
+            key = jax.random.fold_in(s_.key, s_.its + 1)
+            W = _safe_colnormalize(W, jax.random.fold_in(key, 17), rdt, tiny)
+            S = jnp.concatenate([s_.X, W, s_.P], axis=1)
+            X_new, lam_new, AX_new = rayleigh_ritz(S)
+            P_new = X_new - s_.X @ (s_.X.conj().T @ X_new)
+            P_new = _safe_colnormalize(P_new, jax.random.fold_in(key, 29), rdt, tiny)
+            _, resmax = residual_info(X_new, lam_new, AX_new)
+            return _State(
+                X=X_new, AX=AX_new, P=P_new, lam=lam_new, resmax=resmax,
+                its=s_.its + 1, key=s_.key,
+            )
+
+        final = lax.while_loop(cond_fn, body_fn, st)
+        status = jnp.where(
+            final.resmax <= tol,
+            jnp.int32(Status.CONVERGED),
+            jnp.int32(Status.INSUFFICIENT_ITER),
+        )
+        # return the wanted pairs ascending regardless of search direction,
+        # scipy-style (buffer columns are iteration scaffolding, not results)
+        lam_w, X_w = final.lam[:k_want], final.X[:, :k_want]
+        order = jnp.argsort(lam_w)
+        return (
+            lam_w[order],
+            X_w[:, order],
+            make_info(final.its, final.resmax, status),
+        )
