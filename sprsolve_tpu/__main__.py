@@ -9,6 +9,7 @@ preconditioner, print the solve report, optionally write x.
     python -m sprsolve_tpu info A.mtx
     python -m sprsolve_tpu eig A.mtx -k 4 --which SA
     python -m sprsolve_tpu eig A.mtx -k 2 --sigma 3.5   # interior, near σ
+    python -m sprsolve_tpu eig P.mtx -k 4 --precond mg --grid 100,100,100
 """
 
 from __future__ import annotations
@@ -168,10 +169,34 @@ def _cmd_eig(args):
         print("error: --which LM needs --sigma; use LA/SA for the spectrum's "
               "ends", file=sys.stderr)
         return 2
+    precond = None
+    if args.precond != "none":
+        if args.sigma is not None:
+            print("error: --precond applies to the LOBPCG path (no --sigma)",
+                  file=sys.stderr)
+            return 2
+        if args.precond == "mg":
+            # structured-grid multigrid: the difference between converging
+            # and not at scale (smallest grid eigenvalues cluster at O(h^2))
+            if not args.grid:
+                print("error: --precond mg needs --grid NX[,NY[,NZ]]",
+                      file=sys.stderr)
+                return 2
+            grid = tuple(int(g) for g in args.grid.split(","))
+            if int(np.prod(grid)) != A.shape[0]:
+                print(f"error: --grid {args.grid} has {int(np.prod(grid))} "
+                      f"points, matrix has {A.shape[0]} rows",
+                      file=sys.stderr)
+                return 2
+            from .multigrid import GridMGPrecond
+
+            precond = GridMGPrecond.from_csr(A, grid)
+        else:
+            precond = args.precond  # "jacobi": built inside eigsh
     t0 = time.perf_counter()
     try:
         w, v = eigsh(A, k=args.k, sigma=args.sigma, which=which,
-                     tol=args.tol, maxiter=args.max_iter)
+                     tol=args.tol, maxiter=args.max_iter, precond=precond)
     except NotImplementedError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -241,6 +266,15 @@ def main(argv=None):
     )
     p_eig.add_argument("--tol", type=float, default=1e-8)
     p_eig.add_argument("--max-iter", type=int, default=200)
+    p_eig.add_argument(
+        "--precond", default="none", choices=["none", "jacobi", "mg"],
+        help="LOBPCG preconditioner (LA/SA only): 'mg' needs --grid and is "
+        "the production choice at scale (see BENCH_NOTES Eigen table)",
+    )
+    p_eig.add_argument(
+        "--grid", default=None,
+        help="structured grid shape NX[,NY[,NZ]] for --precond mg",
+    )
     p_eig.add_argument("--out", help="write w/v to this .npz file")
     p_eig.set_defaults(fn=_cmd_eig)
 

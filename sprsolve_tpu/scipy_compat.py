@@ -218,7 +218,8 @@ def lobpcg(A, X, B=None, M=None, Y=None, tol=None, maxiter: int = 20,
 
 def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "LM", v0=None,
           ncv=None, maxiter=None, tol: float = 0,
-          return_eigenvectors: bool = True, mode: str = "normal"):
+          return_eigenvectors: bool = True, mode: str = "normal",
+          precond=None):
     """``scipy.sparse.linalg.eigsh`` conventions (supported subset).
 
     Returns ``(w, v)`` (ascending ``w``) or ``w`` alone when
@@ -239,9 +240,35 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "LM", v0=None,
     - ``tol=0`` maps to scipy's machine-precision intent as ``√ε`` of the
       working dtype (exact 0 is unreachable for an iterative method).
     - ``v0`` seeds the first column of the search block.
+    - ``precond`` (extension beyond scipy, LOBPCG path only): ``"jacobi"``,
+      a prebuilt ≈A⁻¹ operator, or ``None``.  At scale this is the
+      difference between converging and not — the smallest grid-operator
+      eigenvalues cluster at O(h²) and unpreconditioned LOBPCG is
+      gap-limited (measured: 1M-row Poisson + multigrid M converges in 21
+      iterations where unpreconditioned stalls; BENCH_NOTES "Eigen").
     """
     if M is not None or ncv is not None or mode != "normal":
         raise NotImplementedError("eigsh M/ncv/mode are not supported")
+    if precond is not None and sigma is not None:
+        raise NotImplementedError(
+            "precond applies to the LOBPCG path (sigma=None); the "
+            "shift-invert inner MINRES on the indefinite A - sigma*I "
+            "has no safe SPD preconditioner to build automatically"
+        )
+    if isinstance(precond, str):
+        if precond != "jacobi":
+            raise NotImplementedError(
+                f"precond={precond!r}: 'jacobi', a prebuilt operator, or "
+                "None (for multigrid build GridMGPrecond.from_csr and pass "
+                "it; the CLI's 'eig --precond mg --grid ...' does exactly "
+                "that)"
+            )
+        d = np.asarray(A.diagonal_host()) if hasattr(A, "diagonal_host") \
+            else np.asarray(A.diagonal())
+        d = np.where(d == 0, 1.0, np.abs(d))
+        from .precond import DiagPrecond
+
+        precond = DiagPrecond.new(d)
     op = aslinearoperator(A)
     n = op.shape[0]
     dt = _op_dtype(op, np.zeros(0))
@@ -261,7 +288,8 @@ def eigsh(A, k: int = 6, M=None, sigma=None, which: str = "LM", v0=None,
         from .solvers import lobpcg as _lobpcg
 
         w, v, _info = _lobpcg(
-            op, jnp.asarray(X0), largest=(which == "LA"), tol=tol,
+            op, jnp.asarray(X0), M=precond, largest=(which == "LA"),
+            tol=tol,
             max_iter=200 if maxiter is None else maxiter,
             # guard buffer (ARPACK's ncv > k analog): protects the k-th
             # pair's convergence when it sits in a cluster

@@ -127,3 +127,49 @@ def test_eig_lm_without_sigma_errors(sym_mtx, capsys):
     _, path = sym_mtx
     assert main(["eig", path, "--which", "LM"]) == 2
     assert "--sigma" in capsys.readouterr().err
+
+
+def test_eig_mg_precond(tmp_path, capsys):
+    """--precond mg --grid: the production path for structured operators —
+    multigrid-preconditioned LOBPCG (round-4; measured on chip at 1M rows
+    it is the difference between converging in 21 iters and stalling)."""
+    A = problems.poisson3d(8, 8, 8, dtype=np.float64)
+    p = tmp_path / "p3d.mtx"
+    mmwrite(p, A)
+    rc = main(["eig", str(p), "-k", "2", "--tol", "1e-7",
+               "--precond", "mg", "--grid", "8,8,8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lams = [float(line.split("=")[1].split()[0])
+            for line in out.splitlines() if "lambda[" in line]
+    import math
+
+    l1 = 3 * (2 * math.sin(math.pi / 18)) ** 2
+    assert abs(lams[0] - l1) < 1e-6
+    # guard rails: mg without grid, wrong grid size, precond with sigma
+    assert main(["eig", str(p), "--precond", "mg"]) == 2
+    assert main(["eig", str(p), "--precond", "mg", "--grid", "4,4,4"]) == 2
+    assert main(["eig", str(p), "--precond", "jacobi", "--sigma", "1.0"]) == 2
+
+
+def test_eigsh_precond_extension():
+    """scipy_compat.eigsh(precond=...): jacobi string and prebuilt MG."""
+    from sprsolve_tpu import scipy_compat
+
+    A = problems.poisson3d(8, 8, 8, dtype=np.float64)
+    M = sp.GridMGPrecond.from_csr(A, (8, 8, 8))
+    w, v = scipy_compat.eigsh(A, k=2, which="SA", tol=1e-8, maxiter=100,
+                              precond=M)
+    import math
+
+    l1 = 3 * (2 * math.sin(math.pi / 18)) ** 2
+    assert abs(float(w[0]) - l1) < 1e-6
+    w2 = scipy_compat.eigsh(A, k=2, which="SA", tol=1e-8, maxiter=200,
+                            precond="jacobi", return_eigenvectors=False)
+    assert abs(float(w2[0]) - l1) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        scipy_compat.eigsh(A, k=2, sigma=1.0, precond="jacobi")
+    with _pytest.raises(NotImplementedError):
+        scipy_compat.eigsh(A, k=2, which="SA", precond="ilu0")
