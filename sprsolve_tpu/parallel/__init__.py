@@ -16,6 +16,7 @@ Because every solver already threads an ``axis_name`` through its reductions
 
 from . import multihost
 from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
+from .eigen import distributed_lobpcg
 from .pallas_dist import DistComplexPaddedDIA, DistPaddedDIA
 from .solve import distributed_solve, make_solver_specs
 
@@ -27,6 +28,7 @@ __all__ = [
     "partition_csr",
     "partition_dia",
     "distributed_solve",
+    "distributed_lobpcg",
     "make_solver_specs",
     "multihost",
 ]

@@ -65,6 +65,17 @@ class AllGatherELL:
         y = self.matvec(x_local)
         return y, conj_dot(x_local, y)
 
+    def matmat(self, X_local: jax.Array) -> jax.Array:
+        """Block SpMM A·X for an (m, k) local block — ONE all-gather covers
+        all k columns (the distributed-LOBPCG workhorse; a per-column
+        ``matvec`` loop would pay k gathers of the same x traffic)."""
+        X_full = lax.all_gather(X_local, self.axis_name, axis=0, tiled=True)
+        # (rows, kk, k) gathered operand against (rows, kk) values — an MXU
+        # contraction over the ELL slot axis
+        return jnp.einsum(
+            "re,rek->rk", self.data, jnp.take(X_full, self.cols, axis=0)
+        )
+
 
 jax.tree_util.register_dataclass(
     AllGatherELL, data_fields=("data", "cols"), meta_fields=("shape", "axis_name")
@@ -151,6 +162,47 @@ class HaloDIA:
 
         y = self.matvec(x_local)
         return y, conj_dot(x_local, y)
+
+    def matmat(self, X_local: jax.Array) -> jax.Array:
+        """Block SpMM A·X for an (m, k) local block — ONE halo exchange
+        covers all k columns (two ppermutes of (h, k) slabs, vs 2k for a
+        per-column ``matvec`` loop).  Same interior-first data flow as
+        ``matvec`` so XLA overlaps the permutes with the band products."""
+        ax = self.axis_name
+        m = X_local.shape[0]
+        h = self.halo
+        nd = lax.axis_size(ax)
+        tail = X_local.shape[1:]
+
+        right_halo = lax.ppermute(
+            X_local[:h], ax, perm=[(i, (i - 1) % nd) for i in range(1, nd)]
+        )
+        left_halo = lax.ppermute(
+            X_local[m - h :], ax, perm=[(i, (i + 1) % nd) for i in range(nd - 1)]
+        )
+
+        def zrows(r):
+            return jnp.zeros((r,) + tail, X_local.dtype)
+
+        Y = jnp.zeros(
+            (m,) + tail, dtype=jnp.result_type(self.dtype, X_local.dtype)
+        )
+        for d, off in enumerate(self.offsets):
+            band = self.bands[d][:, None]
+            if off == 0:
+                Y = Y + band * X_local
+            elif off > 0:
+                Y = Y + band * jnp.concatenate([X_local[off:], zrows(off)])
+            else:
+                Y = Y + band * jnp.concatenate([zrows(-off), X_local[:off]])
+        for d, off in enumerate(self.offsets):
+            if off > 0:
+                corr = self.bands[d, m - off :][:, None] * right_halo[:off]
+                Y = Y.at[m - off :].add(corr)
+            elif off < 0:
+                corr = self.bands[d, : -off][:, None] * left_halo[h + off :]
+                Y = Y.at[: -off].add(corr)
+        return Y
 
 
 jax.tree_util.register_dataclass(

@@ -1,0 +1,215 @@
+"""Distributed eigensolver driver: shard_map LOBPCG over a row-partitioned
+operator.
+
+The reference has no eigensolver (its surface is linear solvers,
+``src/lib.rs:15-21``) and no distributed runtime (``Cargo.toml:14-28``);
+this extends the package's own LOBPCG surface (COVERAGE.md "Beyond the
+reference") to the same row-partition axis every distributed solve uses.
+
+Structure of one distributed iteration (certified from compiled HLO in
+``tests/test_dist_lobpcg.py``):
+
+- the (n_local, 3k) block SpMM does ONE halo exchange for the whole block
+  (``HaloDIA.matmat`` — 2 collective-permutes regardless of k, overlapped
+  with the interior band products by XLA's scheduler);
+- every k×k / 3k×3k Gram matrix is one ``psum`` (all-reduce of ≤ (3k)²
+  scalars — latency-bound, not bandwidth-bound);
+- QR of the row-sharded basis is shifted CholQR2 (Gram + replicated
+  Cholesky + local triangular solve, twice) — no tall-skinny gather;
+- the 3k×3k Rayleigh–Ritz eigenproblem is solved redundantly per device
+  from replicated inputs, so eigenvalues/SolveInfo come back replicated.
+
+Padding: n is padded to the mesh size with DECOUPLED rows whose diagonal
+sits strictly outside the wanted end of the spectrum (Gershgorin bound), so
+pad eigenpairs can never be selected by Rayleigh–Ritz; pad rows of X0 start
+at zero and only re-enter through the rank-refresh path, where the spectral
+placement makes them contract away again.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..errors import SolveInfo
+from ..precond import DiagPrecond
+from ..solvers.lobpcg import lobpcg
+from ..sparse.containers import CSR, DIA
+from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
+from .solve import make_solver_specs
+
+
+def _gershgorin_bounds(A) -> tuple:
+    """(lower, upper) eigenvalue bounds of a host CSR/DIA container."""
+    if isinstance(A, DIA):
+        bands = np.asarray(A.bands)
+        diag = bands[A.offsets.index(0)] if 0 in A.offsets else np.zeros(
+            A.shape[0], bands.dtype
+        )
+        radius = np.zeros(A.shape[0], dtype=np.float64)
+        n = A.shape[0]
+        for d, off in enumerate(A.offsets):
+            if off == 0:
+                continue
+            # band d stores a_{i, i+off} at row index i (DIA convention of
+            # sparse/containers.py): rows 0..n-|off| carry real entries
+            radius += np.abs(bands[d])
+        lo = float(np.min(diag.real - radius))
+        hi = float(np.max(diag.real + radius))
+        return lo, hi
+    data = np.asarray(A.data)
+    indices = np.asarray(A.indices)
+    indptr = np.asarray(A.indptr)
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    off = rows != indices
+    radius = np.bincount(rows[off], weights=np.abs(data[off]), minlength=n)
+    diag = np.zeros(n, dtype=np.float64)
+    dmask = ~off
+    diag[rows[dmask]] = data[dmask].real
+    return float(np.min(diag - radius)), float(np.max(diag + radius))
+
+
+def _pad_rows(A_parts, n: int, largest: bool, bounds) -> "AllGatherELL | HaloDIA":
+    """Rewrite identity pad rows (from partition_*) so the pad diagonal sits
+    strictly outside the wanted end of the spectrum."""
+    n_pad = A_parts.shape[0]
+    if n_pad == n:
+        return A_parts
+    lo, hi = bounds
+    span = max(hi - lo, 1.0)
+    pad_val = (lo - span) if largest else (hi + span)
+    if isinstance(A_parts, HaloDIA):
+        d0 = A_parts.offsets.index(0)
+        bands = A_parts.bands.at[d0, n:].set(
+            jnp.asarray(pad_val, A_parts.bands.dtype)
+        )
+        return HaloDIA(
+            bands=bands, offsets=A_parts.offsets, shape=A_parts.shape,
+            axis_name=A_parts.axis_name,
+        )
+    data = A_parts.data.at[n:, 0].set(jnp.asarray(pad_val, A_parts.data.dtype))
+    return AllGatherELL(
+        data=data, cols=A_parts.cols, shape=A_parts.shape,
+        axis_name=A_parts.axis_name,
+    )
+
+
+def distributed_lobpcg(
+    A,
+    k: Optional[int] = None,
+    X0: Optional[jax.Array] = None,
+    *,
+    M=None,
+    largest: bool = False,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    buffer: int = 0,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    seed: int = 0,
+):
+    """Compute the k smallest (or largest) eigenpairs of Hermitian ``A``,
+    row-partitioned over ``mesh``.
+
+    ``A`` may be a host CSR/DIA container (partitioned here) or an already
+    partitioned :class:`AllGatherELL` / :class:`HaloDIA`.  Give either
+    ``k`` (random ``X0`` built here) or an explicit global ``X0`` of shape
+    (n, k).  ``M`` (optional) must be a :class:`DiagPrecond`; its diagonal
+    shards with the rows.  Returns global ``(lam, X, info)`` exactly like
+    :func:`~sprsolve_tpu.solvers.lobpcg.lobpcg`.
+    """
+    if mesh is None:
+        devices = jax.devices()
+        mesh = jax.make_mesh((len(devices),), (axis_name,), devices=devices)
+    n_dev = mesh.shape[axis_name]
+
+    bounds = None
+    if isinstance(A, CSR):
+        bounds = _gershgorin_bounds(A)
+        n = A.shape[0]
+        A_parts = partition_csr(A, n_dev, axis_name)
+    elif isinstance(A, DIA):
+        bounds = _gershgorin_bounds(A)
+        n = A.shape[0]
+        A_parts = partition_dia(A, n_dev, axis_name)
+    elif isinstance(A, (AllGatherELL, HaloDIA)):
+        A_parts = A
+        n = A.shape[0]
+    else:
+        raise TypeError(f"cannot partition operator of type {type(A)}")
+    n_pad = A_parts.shape[0]
+    if bounds is not None:
+        A_parts = _pad_rows(A_parts, n, largest, bounds)
+    elif n_pad != n:
+        raise ValueError(
+            "pre-partitioned operators must be pre-padded (n divisible by "
+            "the mesh) — identity pad rows would inject spurious unit "
+            "eigenvalues"
+        )
+
+    if X0 is None:
+        if k is None:
+            raise ValueError("give either k or an explicit X0")
+        rng = np.random.default_rng(seed)
+        X0 = rng.standard_normal((n, k))
+        if np.iscomplexobj(np.asarray(A_parts.data if hasattr(A_parts, "data")
+                                      else A_parts.bands)):
+            X0 = X0 + 1j * rng.standard_normal((n, k))
+        X0 = jnp.asarray(X0, dtype=A_parts.dtype)
+    else:
+        X0 = jnp.asarray(X0)
+        k = X0.shape[1]
+    if n_pad != n:  # pad rows start exactly zero (decoupled coordinates)
+        X0 = jnp.concatenate(
+            [X0, jnp.zeros((n_pad - n, k), X0.dtype)], axis=0
+        )
+
+    M_parts = None
+    if M is not None:
+        if not isinstance(M, DiagPrecond):
+            raise TypeError("distributed_lobpcg supports DiagPrecond for M")
+        di = M.diag_inv
+        if di.shape[0] != n_pad:
+            # pad reciprocal 1 keeps the decoupled pad coordinates inert
+            di = jnp.concatenate([di, jnp.ones(n_pad - di.shape[0], di.dtype)])
+        M_parts = DiagPrecond(diag_inv=di)
+
+    a_spec = A_parts.pspec(axis_name)
+    in_specs = [a_spec, P(axis_name, None)]
+    if M_parts is not None:
+        in_specs.append(jax.tree.map(lambda _: P(axis_name), M_parts))
+    out_specs = (P(), P(axis_name, None), SolveInfo(P(), P(), P()))
+
+    if M_parts is None:
+
+        def run(A_, X_):
+            return lobpcg(
+                A_, X_, largest=largest, tol=tol, max_iter=max_iter,
+                buffer=buffer, axis_name=axis_name,
+            )
+
+        args = (A_parts, X0)
+    else:
+
+        def run(A_, X_, M_):
+            return lobpcg(
+                A_, X_, M=M_, largest=largest, tol=tol, max_iter=max_iter,
+                buffer=buffer, axis_name=axis_name,
+            )
+
+        args = (A_parts, X0, M_parts)
+
+    sharded = jax.shard_map(
+        run, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs,
+        check_vma=False,
+    )
+    lam, X, info = sharded(*args)
+    from .multihost import replicate
+
+    X = replicate(X, mesh)
+    return lam, X[:n], info

@@ -23,11 +23,22 @@ convergence to the *smallest* eigenpairs exactly as in scipy; any of this
 package's preconditioners (Chebyshev, block-Jacobi, IC0, masked-GS) works —
 they are linear pure maps, so ``jax.vmap`` lifts their vector apply to the
 block.
+
+Distributed (``axis_name`` set, inside ``shard_map``): rows of every block
+are partitioned over the mesh axis.  All tall-skinny algebra stays local;
+the only collectives are psums of k×k / 3k×3k Gram matrices plus the
+operator's own halo exchange (``HaloDIA.matmat`` — one exchange for the
+whole block).  QR of the row-sharded basis is replaced by shifted CholQR2
+(two rounds of G = psum(SᴴS); chol(G + σI); S ← S·L⁻ᴴ — Fukaya et al.'s
+shifted CholeskyQR, whose Gram+triangular-solve structure is exactly the
+MXU/psum shape), and the small Rayleigh–Ritz eigenproblem is solved
+redundantly on every device from the replicated psum'd projection — no
+gather of the basis, ever.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,17 +54,24 @@ def _matmat(A, X):
     return jax.vmap(A.matvec, in_axes=1, out_axes=1)(X)
 
 
-def _col_norms(X, rdt):
-    return jnp.sqrt(jnp.sum(jnp.abs(X) ** 2, axis=0)).astype(rdt)
+def _col_norms(X, rdt, axis_name=None):
+    ss = jnp.sum(jnp.abs(X) ** 2, axis=0)
+    if axis_name is not None:
+        ss = lax.psum(ss, axis_name)
+    return jnp.sqrt(ss).astype(rdt)
 
 
-def _safe_colnormalize(X, key, rdt, tiny):
+def _safe_colnormalize(X, key, rdt, tiny, axis_name=None):
     """Normalize columns; columns with ~zero norm are replaced by fresh
     deterministic pseudo-random directions (keeps S full-rank)."""
-    nrm = _col_norms(X, rdt)
+    nrm = _col_norms(X, rdt, axis_name)
+    if axis_name is not None:
+        # decorrelate the replacement directions across shards (same key on
+        # every device would make the global vector block-periodic)
+        key = jax.random.fold_in(key, lax.axis_index(axis_name))
     bad = nrm <= tiny
     fresh = jax.random.normal(key, X.shape, dtype=rdt).astype(X.dtype)
-    fresh = fresh / _col_norms(fresh, rdt)[None, :]
+    fresh = fresh / _col_norms(fresh, rdt, axis_name)[None, :]
     Xn = X / jnp.where(bad, jnp.ones_like(nrm), nrm)[None, :]
     return jnp.where(bad[None, :], fresh, Xn)
 
@@ -77,6 +95,7 @@ def lobpcg(
     tol: float = 1e-6,
     max_iter: int = 200,
     buffer: int = 0,
+    axis_name: Optional[str] = None,
 ):
     """Compute the ``k`` smallest (or largest) eigenpairs of Hermitian ``A``.
 
@@ -100,6 +119,12 @@ def lobpcg(
     grows from (n, 3k) to (n, 3(k+buffer)) — tall-skinny MXU shapes either
     way, so on TPU the extra columns are nearly free until the block leaves
     VMEM.
+
+    ``axis_name``: set inside ``shard_map`` to run row-partitioned over a
+    mesh axis (use :func:`~sprsolve_tpu.parallel.distributed_lobpcg` for
+    the host-side driver).  ``X0`` and all returned vectors are then the
+    per-device row blocks; eigenvalues and ``SolveInfo`` come back
+    replicated.
     """
     if X0.ndim != 2:
         raise IncompatibleMatrixFormat("X0 must be (n, k)")
@@ -118,19 +143,24 @@ def lobpcg(
                 k_want + 1
             ).standard_normal(extra.shape)
         X0 = jnp.concatenate([X0, jnp.asarray(extra, X0.dtype)], axis=1)
-    if hasattr(A, "pad_vec"):
+    if axis_name is None and hasattr(A, "pad_vec"):
         # padded kernel operators work in their internal (rows, lanes)
         # layout; the block algebra here is flat (n, k) — round-trip each
         # apply (pad/unpad are reshapes, cheap against the (n, 3k) SpMM)
         from ..multigrid import FlatViewOperator
 
         A = FlatViewOperator(op=A)
-    if M is not None and hasattr(M, "pad_vec"):
+    if axis_name is None and M is not None and hasattr(M, "pad_vec"):
         from ..multigrid import FlatViewOperator
 
         M = FlatViewOperator(op=M)
     n, k = X0.shape
-    if hasattr(A, "shape") and A.shape is not None and A.shape[1] != n:
+    if (
+        axis_name is None  # under shard_map A.shape is global, X0 local
+        and hasattr(A, "shape")
+        and A.shape is not None
+        and A.shape[1] != n
+    ):
         raise IncompatibleMatrixFormat(
             "Input vec dimension doesn't match the matrix size"
         )
@@ -152,14 +182,42 @@ def lobpcg(
     # Ritz values were already correct). Trace everything at HIGHEST; the
     # cost is negligible next to the SpMM.
     with jax.default_matmul_precision("highest"):
+        def orthonormalize(S):
+            if axis_name is None:
+                return jnp.linalg.qr(S)[0]
+            # shifted CholQR2: the row-sharded QR.  Each round is one psum'd
+            # Gram matrix + a replicated Cholesky + a local triangular solve;
+            # two rounds give QR-grade orthogonality for cond(S) up to
+            # ~1/sqrt(eps), and the σ-shift keeps the Cholesky finite even
+            # when converged directions make S numerically rank-deficient
+            # (the random-refresh scheme then restores rank next iteration).
+            dim = S.shape[1]
+            eye = jnp.eye(dim, dtype=S.dtype)
+            for _ in range(2):
+                G = lax.psum(S.conj().T @ S, axis_name)
+                sigma = (
+                    jnp.asarray(100.0, rdt)
+                    * jnp.finfo(rdt).eps
+                    * jnp.real(jnp.trace(G)).astype(rdt)
+                    / dim
+                )
+                L = jnp.linalg.cholesky(G + sigma.astype(S.dtype) * eye)
+                S = jax.scipy.linalg.solve_triangular(
+                    L, S.conj().T, lower=True
+                ).conj().T
+            return S
+
+        def psum_gram(G):
+            return G if axis_name is None else lax.psum(G, axis_name)
+
         def rayleigh_ritz(S):
             """Orthonormalize S, project A, solve the small Hermitian problem.
 
             Returns (X, λ, A·X); A·X = (A·Q)·Y reuses the projection's SpMM, so
             the whole iteration applies A exactly once (on the (n, 3k) basis)."""
-            Q, _ = jnp.linalg.qr(S)
+            Q = orthonormalize(S)
             AQ = _matmat(A, Q)
-            Tm = Q.conj().T @ AQ
+            Tm = psum_gram(Q.conj().T @ AQ)
             Tm = (Tm + Tm.conj().T) * jnp.asarray(0.5, rdt)
             evals, V = jnp.linalg.eigh(Tm)  # ascending
             if largest:
@@ -174,13 +232,13 @@ def lobpcg(
         key0 = jax.random.key(0)
         X, lam, AX = rayleigh_ritz(X0)
         P0 = _safe_colnormalize(
-            jnp.zeros_like(X), jax.random.fold_in(key0, 0), rdt, tiny
+            jnp.zeros_like(X), jax.random.fold_in(key0, 0), rdt, tiny, axis_name
         )
 
         def residual_info(X_, lam_, AX_):
             R = AX_ - X_ * lam_[None, :].astype(T)
             scale = jnp.abs(lam_) + jnp.max(jnp.abs(lam_))
-            rel = _col_norms(R, rdt) / jnp.maximum(scale, tiny)
+            rel = _col_norms(R, rdt, axis_name) / jnp.maximum(scale, tiny)
             # the wanted pairs occupy the first k_want columns in both search
             # directions; buffer columns never gate convergence
             return R, jnp.max(rel[:k_want])
@@ -197,11 +255,15 @@ def lobpcg(
             R, _ = residual_info(s_.X, s_.lam, s_.AX)
             W = R if M is None else _matmat(M, R)
             key = jax.random.fold_in(s_.key, s_.its + 1)
-            W = _safe_colnormalize(W, jax.random.fold_in(key, 17), rdt, tiny)
+            W = _safe_colnormalize(
+                W, jax.random.fold_in(key, 17), rdt, tiny, axis_name
+            )
             S = jnp.concatenate([s_.X, W, s_.P], axis=1)
             X_new, lam_new, AX_new = rayleigh_ritz(S)
-            P_new = X_new - s_.X @ (s_.X.conj().T @ X_new)
-            P_new = _safe_colnormalize(P_new, jax.random.fold_in(key, 29), rdt, tiny)
+            P_new = X_new - s_.X @ psum_gram(s_.X.conj().T @ X_new)
+            P_new = _safe_colnormalize(
+                P_new, jax.random.fold_in(key, 29), rdt, tiny, axis_name
+            )
             _, resmax = residual_info(X_new, lam_new, AX_new)
             return _State(
                 X=X_new, AX=AX_new, P=P_new, lam=lam_new, resmax=resmax,
