@@ -70,7 +70,11 @@ def collective_summary(hlo_text: str) -> dict:
     out = defaultdict(lambda: defaultdict(lambda: [0, 0]))
     for cname, lines in comps.items():
         for ln in lines:
-            m = re.match(r"%?[\w\.\-]+ = (\S+) (\S+)\(", ln)
+            # shape is either a bare `f64[32]{0}` token or a parenthesized
+            # tuple `(f64[], f64[])` — tuple-shaped collectives are exactly
+            # what a fused multi-operand psum lowers to, so missing them
+            # here would undercount synchronization rounds
+            m = re.match(r"%?[\w\.\-]+ = (\([^)]*\)|\S+) ([\w\-\.]+)\(", ln)
             if not m:
                 continue
             shape, op = m.group(1), m.group(2)
