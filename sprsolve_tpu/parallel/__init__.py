@@ -16,7 +16,7 @@ Because every solver already threads an ``axis_name`` through its reductions
 
 from . import multihost
 from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
-from .eigen import distributed_lobpcg
+from .eigen import distributed_lobpcg, distributed_shift_invert_eigs
 from .pallas_dist import DistComplexPaddedDIA, DistPaddedDIA
 from .solve import distributed_solve, make_solver_specs
 
@@ -29,6 +29,7 @@ __all__ = [
     "partition_dia",
     "distributed_solve",
     "distributed_lobpcg",
+    "distributed_shift_invert_eigs",
     "make_solver_specs",
     "multihost",
 ]

@@ -35,6 +35,33 @@ from jax.sharding import PartitionSpec as P
 from ..sparse.containers import CSR, DIA, ELL
 
 
+def auto_mesh(mesh, axis_name: str):
+    """A 1-D mesh with AUTO axis types for the manual ``shard_map`` drivers.
+
+    ``jax.make_mesh`` defaults to EXPLICIT axis types, under which a
+    replicated closure constant batched inside a manual shard_map body trips
+    an XLA sharding-override assertion (seen with ``vmap``-of-``minres``
+    inside :func:`~sprsolve_tpu.parallel.distributed_shift_invert_eigs`).
+    The drivers here use shard_map in fully-manual mode, so Auto axes are
+    the correct typing; a user-supplied Explicit mesh is rebuilt with the
+    same devices.
+    """
+    from jax.sharding import AxisType, Mesh
+
+    if mesh is None:
+        devices = jax.devices()
+        return jax.make_mesh(
+            (len(devices),), (axis_name,), devices=devices,
+            axis_types=(AxisType.Auto,),
+        )
+    if all(t == AxisType.Auto for t in mesh.axis_types):
+        return mesh
+    return Mesh(
+        mesh.devices, mesh.axis_names,
+        axis_types=(AxisType.Auto,) * len(mesh.axis_names),
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class AllGatherELL:
     """Local row-block ELL over an all-gathered x. General sparsity."""

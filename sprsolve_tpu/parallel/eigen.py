@@ -39,7 +39,9 @@ from ..errors import SolveInfo
 from ..precond import DiagPrecond
 from ..solvers.lobpcg import lobpcg
 from ..sparse.containers import CSR, DIA
-from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
+from .dist_operator import (
+    AllGatherELL, HaloDIA, auto_mesh, partition_csr, partition_dia,
+)
 from .solve import make_solver_specs
 
 
@@ -77,12 +79,18 @@ def _gershgorin_bounds(A) -> tuple:
 def _pad_rows(A_parts, n: int, largest: bool, bounds) -> "AllGatherELL | HaloDIA":
     """Rewrite identity pad rows (from partition_*) so the pad diagonal sits
     strictly outside the wanted end of the spectrum."""
-    n_pad = A_parts.shape[0]
-    if n_pad == n:
-        return A_parts
     lo, hi = bounds
     span = max(hi - lo, 1.0)
     pad_val = (lo - span) if largest else (hi + span)
+    return _set_pad_diag(A_parts, n, pad_val)
+
+
+def _set_pad_diag(A_parts, n: int, pad_val: float) -> "AllGatherELL | HaloDIA":
+    """Rewrite the pad rows' diagonal (identity after partition_*) to
+    ``pad_val``; the pad rows stay decoupled from the real ones."""
+    n_pad = A_parts.shape[0]
+    if n_pad == n:
+        return A_parts
     if isinstance(A_parts, HaloDIA):
         d0 = A_parts.offsets.index(0)
         bands = A_parts.bands.at[d0, n:].set(
@@ -123,9 +131,7 @@ def distributed_lobpcg(
     shards with the rows.  Returns global ``(lam, X, info)`` exactly like
     :func:`~sprsolve_tpu.solvers.lobpcg.lobpcg`.
     """
-    if mesh is None:
-        devices = jax.devices()
-        mesh = jax.make_mesh((len(devices),), (axis_name,), devices=devices)
+    mesh = auto_mesh(mesh, axis_name)
     n_dev = mesh.shape[axis_name]
 
     bounds = None
@@ -145,12 +151,9 @@ def distributed_lobpcg(
     n_pad = A_parts.shape[0]
     if bounds is not None:
         A_parts = _pad_rows(A_parts, n, largest, bounds)
-    elif n_pad != n:
-        raise ValueError(
-            "pre-partitioned operators must be pre-padded (n divisible by "
-            "the mesh) — identity pad rows would inject spurious unit "
-            "eigenvalues"
-        )
+    # pre-partitioned operators carry their (already padded) global shape,
+    # so every row is treated as real — the contract is n divisible by the
+    # mesh (identity pad rows would inject spurious unit eigenvalues)
 
     if X0 is None:
         if k is None:
@@ -213,3 +216,170 @@ def distributed_lobpcg(
 
     X = replicate(X, mesh)
     return lam, X[:n], info
+
+
+def distributed_shift_invert_eigs(
+    A,
+    k: int,
+    sigma: float,
+    *,
+    side: str = "both",
+    M_inner=None,
+    inner_tol: Optional[float] = None,
+    inner_max_iter: int = 400,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    seed: int = 0,
+):
+    """The ``k`` eigenpairs of Hermitian ``A`` nearest ``sigma``,
+    row-partitioned over ``mesh``.
+
+    The distributed composition of
+    :func:`~sprsolve_tpu.solvers.eigs.shift_invert_eigs`: the μ-space LOBPCG
+    block iteration runs inside one ``shard_map`` program per pass, and every
+    operator application is an inner MINRES solve on the row-partitioned
+    shifted operator — ``vmap``-batched over the block's columns, so the
+    halo exchange and the Lanczos reductions are each ONE batched collective
+    per inner iteration regardless of k.
+
+    Padding: pad rows get diagonal σ + 2·D (D = max distance from σ to the
+    Gershgorin spectrum bounds), so the pad eigenvalue is strictly FARTHER
+    from σ than every true eigenvalue — its |μ| = 1/(2D) sits strictly
+    inside both μ-spectrum ends and can never be selected by either LOBPCG
+    pass; the inner solve stays comfortably nonsingular on the pad rows
+    (|pad − σ| = 2D).  Pre-partitioned operators must be pre-padded, since
+    their identity pad rows would put a spurious eigenvalue at 1 − σ.
+
+    Returns ``(lam, X, info)`` exactly like the single-chip driver:
+    eigenvalues ordered by |λ − σ|, vectors as global (n, k) columns, and
+    the worst MEASURED A-residual gating CONVERGED.
+    """
+    from ..errors import IncompatibleMatrixFormat
+    from ..ops.operator import ShiftedOperator
+    from ..solvers.eigs import InvertedOperator, _select_nearest
+
+    if k < 1:
+        raise IncompatibleMatrixFormat(f"need k >= 1, got {k}")
+    if side not in ("both", "above", "below"):
+        raise IncompatibleMatrixFormat(
+            f"side must be 'both', 'above' or 'below', got {side!r}"
+        )
+    if inner_tol is None:
+        inner_tol = min(tol * 1e-2, 1e-8)
+    mesh = auto_mesh(mesh, axis_name)
+    n_dev = mesh.shape[axis_name]
+
+    bounds = None
+    if isinstance(A, CSR):
+        bounds = _gershgorin_bounds(A)
+        n = A.shape[0]
+        A_parts = partition_csr(A, n_dev, axis_name)
+    elif isinstance(A, DIA):
+        bounds = _gershgorin_bounds(A)
+        n = A.shape[0]
+        A_parts = partition_dia(A, n_dev, axis_name)
+    elif isinstance(A, (AllGatherELL, HaloDIA)):
+        A_parts = A
+        n = A.shape[0]
+    else:
+        raise TypeError(f"cannot partition operator of type {type(A)}")
+    n_pad = A_parts.shape[0]
+    if bounds is not None:
+        lo, hi = bounds
+        D = max(abs(hi - sigma), abs(lo - sigma), 1.0)
+        A_parts = _set_pad_diag(A_parts, n, sigma + 2.0 * D)
+    # pre-partitioned operators carry their (already padded) global shape,
+    # so every row is treated as real — the contract is n divisible by the
+    # mesh (identity pad rows would put a spurious eigenvalue at 1, often
+    # near σ)
+
+    dt = A_parts.dtype
+    shifted = ShiftedOperator(A=A_parts, shift=jnp.asarray(sigma, dt))
+
+    M_parts = None
+    if M_inner is not None:
+        if not isinstance(M_inner, DiagPrecond):
+            raise TypeError(
+                "distributed_shift_invert_eigs supports DiagPrecond for "
+                "M_inner"
+            )
+        di = M_inner.diag_inv
+        if di.shape[0] != n_pad:
+            di = jnp.concatenate([di, jnp.ones(n_pad - di.shape[0], di.dtype)])
+        M_parts = DiagPrecond(diag_inv=di)
+
+    inv = InvertedOperator(
+        A=shifted, M=M_parts,
+        inner_tol=float(inner_tol), inner_max_iter=int(inner_max_iter),
+        axis_name=axis_name,
+    )
+
+    rng = np.random.default_rng(seed)
+    X0 = rng.standard_normal((n, k))
+    if jnp.iscomplexobj(jnp.zeros((), dt)):
+        X0 = X0 + 1j * rng.standard_normal((n, k))
+    X0 = jnp.asarray(
+        np.concatenate([X0, np.zeros((n_pad - n, k))], axis=0), dt
+    )
+
+    a_spec = A_parts.pspec(axis_name)
+    inv_spec = InvertedOperator(
+        A=ShiftedOperator(A=a_spec, shift=P()),
+        M=(None if M_parts is None
+           else jax.tree.map(lambda _: P(axis_name), M_parts)),
+        inner_tol=float(inner_tol), inner_max_iter=int(inner_max_iter),
+        axis_name=axis_name,
+    )
+    in_specs = (inv_spec, P(axis_name, None))
+    out_specs = (P(), P(axis_name, None), SolveInfo(P(), P(), P()))
+
+    from .multihost import replicate
+
+    passes = {"both": (True, False), "above": (True,), "below": (False,)}[side]
+    cand, total_its = [], 0
+    for largest in passes:
+        # μ-space margin: same tol/10 overshoot as the single-chip driver
+        # (the CONVERGED gate below is the measured A-residual, strict)
+        def run(inv_, X_, _largest=largest):
+            return lobpcg(
+                inv_, X_, largest=_largest, tol=tol / 10, max_iter=max_iter,
+                axis_name=axis_name,
+            )
+
+        sharded = jax.shard_map(
+            run, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+        _, Xp, info_p = sharded(inv, X0)
+        total_its += int(info_p.iterations)
+        cand.append(np.asarray(replicate(Xp, mesh)))
+
+    # merge: truncate the pad rows, drop pad-dominated columns (a true
+    # eigenvector has exactly-zero pad coordinates, so its truncated norm is
+    # 1; a pad eigenvector truncates to ~0), then Rayleigh quotients and
+    # residuals on the ORIGINAL rows via the distributed operator (the pad
+    # rows are decoupled, so zero-padded columns see exactly A)
+    Xall = np.concatenate(cand, axis=1)[:n]
+    norms = np.linalg.norm(Xall, axis=0)
+    keep = norms > 0.5
+    Xall = Xall[:, keep] / norms[keep]
+    Xp_full = jnp.asarray(
+        np.concatenate([Xall, np.zeros((n_pad - n, Xall.shape[1]))], axis=0),
+        dt,
+    )
+    AX = jax.shard_map(
+        lambda A_, X_: A_.matmat(X_),
+        mesh=mesh, in_specs=(a_spec, P(axis_name, None)),
+        out_specs=P(axis_name, None), check_vma=False,
+    )(A_parts, Xp_full)
+    AXn = np.asarray(replicate(AX, mesh))[:n]
+    lam_all = np.real(np.sum(np.conj(Xall) * AXn, axis=0))
+    R = AXn - Xall * lam_all[None, :].astype(Xall.dtype)
+    rel_all = np.linalg.norm(R, axis=0) / np.maximum(
+        np.abs(lam_all), np.finfo(lam_all.dtype).tiny
+    )
+    return _select_nearest(
+        lam_all, rel_all, Xall, sigma, side, k, tol, total_its
+    )

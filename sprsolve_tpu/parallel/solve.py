@@ -18,7 +18,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..errors import SolveInfo
 from ..precond import DiagPrecond
 from ..sparse.containers import CSR, DIA
-from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
+from .dist_operator import (
+    AllGatherELL, HaloDIA, auto_mesh, partition_csr, partition_dia,
+)
 from .pallas_dist import DistComplexPaddedDIA, DistPaddedDIA
 
 
@@ -54,9 +56,7 @@ def distributed_solve(
     must be a :class:`DiagPrecond`; its diagonal is sharded with the rows.
     Returns the global ``(x, SolveInfo)``.
     """
-    if mesh is None:
-        devices = jax.devices()
-        mesh = jax.make_mesh((len(devices),), (axis_name,), devices=devices)
+    mesh = auto_mesh(mesh, axis_name)
     n_dev = mesh.shape[axis_name]
 
     if isinstance(A, CSR):

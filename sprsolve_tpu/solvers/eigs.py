@@ -49,13 +49,17 @@ class InvertedOperator:
     ``lax.while_loop`` runs batched until every column converges).
 
     ``inner_tol``/``inner_max_iter`` are static (they shape the compiled
-    loop); ``A`` and ``M`` are pytree data.
+    loop); ``A`` and ``M`` are pytree data.  ``axis_name`` (static) makes the
+    inner solve row-partitioned: set inside ``shard_map`` so every inner
+    reduction rides the mesh collective (used by
+    :func:`~sprsolve_tpu.parallel.distributed_shift_invert_eigs`).
     """
 
     A: object
     M: object = None
     inner_tol: float = 1e-8
     inner_max_iter: int = 400
+    axis_name: Optional[str] = None
 
     @property
     def shape(self):
@@ -69,6 +73,7 @@ class InvertedOperator:
         y, _ = minres(
             self.A, x, M=self.M,
             tol=self.inner_tol, max_iter=self.inner_max_iter,
+            axis_name=self.axis_name,
         )
         return y
 
@@ -79,7 +84,7 @@ class InvertedOperator:
 jax.tree_util.register_dataclass(
     InvertedOperator,
     data_fields=("A", "M"),
-    meta_fields=("inner_tol", "inner_max_iter"),
+    meta_fields=("inner_tol", "inner_max_iter", "axis_name"),
 )
 
 
@@ -207,6 +212,21 @@ def shift_invert_eigs(
     # (a pair straddling both passes appears twice), pick k nearest σ
     Xall = jnp.asarray(np.concatenate(cand_vecs, axis=1))
     lam_all, rel_all = _rayleigh_and_residuals(op, Xall)
+    return _select_nearest(
+        lam_all, rel_all, np.asarray(Xall), sigma, side, k, tol, total_its
+    )
+
+
+def _select_nearest(lam_all, rel_all, Xnp, sigma, side, k, tol, total_its):
+    """Merge candidate pairs: side filter, |λ−σ| order, dedupe, pick k.
+
+    CONVERGED is gated on the DIRECTLY MEASURED residuals of the returned
+    pairs on the original A — not on the inner LOBPCG passes' μ-space
+    status: the μ-iteration routinely hits its budget while the Rayleigh
+    quotients on A are already within tol (observed on chip at 262k), and
+    conversely a converged μ-pass with sloppy inner solves could still
+    return bad pairs. The measurement is the contract.
+    """
     if side == "above":
         keep0 = lam_all >= sigma
     elif side == "below":
@@ -214,7 +234,6 @@ def shift_invert_eigs(
     else:
         keep0 = np.ones_like(lam_all, bool)
     order = np.argsort(np.abs(lam_all - sigma))
-    Xnp = np.asarray(Xall)
     sel, lam_sel, rel_sel = [], [], []
     for i in order:
         if not keep0[i]:
@@ -232,12 +251,6 @@ def shift_invert_eigs(
     lam = jnp.asarray(np.array(lam_sel))
     X = jnp.asarray(Xnp[:, sel])
     worst = float(np.max(rel_sel)) if rel_sel else float("inf")
-    # CONVERGED is gated on the DIRECTLY MEASURED residuals of the returned
-    # pairs on the original A — not on the inner LOBPCG passes' μ-space
-    # status: the μ-iteration routinely hits its budget while the Rayleigh
-    # quotients on A are already within tol (observed on chip at 262k), and
-    # conversely a converged μ-pass with sloppy inner solves could still
-    # return bad pairs. The measurement is the contract.
     status = (
         Status.CONVERGED
         if (len(sel) == k and worst <= tol)
