@@ -32,6 +32,7 @@ from .precond import (
     ILU0Precond,
     RelayedPrecond,
 )
+from .utils.bounds import gershgorin_bounds
 from .solvers import (
     ColoredELL,
     MaskedGSPrecond,
@@ -43,6 +44,7 @@ from .solvers import (
     color_masks,
     cg,
     cg_single_sync,
+    ca_cg,
     cgs,
     cocg,
     cs_minres,
@@ -79,6 +81,7 @@ __all__ = [
     "block_cg",
     "cg",
     "cg_single_sync",
+    "ca_cg",
     "gmres",
     "idrs",
     "lobpcg",
@@ -120,6 +123,7 @@ __all__ = [
     "GridMGPrecond",
     "ChebyshevPrecond",
     "estimate_spectral_bounds",
+    "gershgorin_bounds",
     "ILU0Precond",
     "IC0Precond",
     "RelayedPrecond",

@@ -15,7 +15,10 @@ Because every solver already threads an ``axis_name`` through its reductions
 """
 
 from . import multihost
-from .dist_operator import AllGatherELL, HaloDIA, partition_csr, partition_dia
+from .dist_operator import (
+    AllGatherELL, HaloDIA, MPKDIA, partition_csr, partition_dia,
+    partition_dia_mpk,
+)
 from .eigen import distributed_lobpcg, distributed_shift_invert_eigs
 from .pallas_dist import DistComplexPaddedDIA, DistPaddedDIA
 from .solve import distributed_solve, make_solver_specs
@@ -27,6 +30,8 @@ __all__ = [
     "DistPaddedDIA",
     "partition_csr",
     "partition_dia",
+    "MPKDIA",
+    "partition_dia_mpk",
     "distributed_solve",
     "distributed_lobpcg",
     "distributed_shift_invert_eigs",

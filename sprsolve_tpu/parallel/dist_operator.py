@@ -288,3 +288,175 @@ def partition_dia(m: DIA, n_devices: int, axis_name: str = "rows") -> HaloDIA:
         shape=(n_pad, n_pad),
         axis_name=axis_name,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class MPKDIA:
+    """HaloDIA plus per-device EXTENDED band windows: the matrix-powers
+    kernel operator for s-step (communication-avoiding) Krylov methods.
+
+    Each device stores the bands of its row block AND of ``ext`` rows on
+    each side (``bands_ext``), so a single depth-``ext`` halo exchange of a
+    vector (``mpk_extend``) lets it apply A locally ``ext // halo`` times
+    (``mpk_apply``): application ℓ is exact on extended-window rows
+    [ℓ·h, L − ℓ·h), which contains the central row block as long as
+    ℓ·h ≤ ext.  Out-of-range rows read x = 0 and carry zero band values —
+    exactly the DIA boundary convention — so the global edges need no
+    special casing.  That turns the 2·s ``ppermute``s of s plain SpMVs
+    into 2 (one exchange for the whole power chain): the ICI-latency
+    amortization that pays for CA-CG (`solvers.ca_cg`).
+
+    Bandwidth trade: the exchange moves ``ext = s·h`` rows per side instead
+    of h, and each of the s local applications works on m + 2·ext rows —
+    both O(s·h/m) overheads, negligible while s·h ≪ m.
+
+    ``bands_ext`` is (n_diags, n_devices, m + 2·ext) globally and
+    (n_diags, 1, m + 2·ext) per device (``pspec`` shards axis 1); plain
+    matvec/matmat delegate to a :class:`HaloDIA` view of the central
+    columns, so every ordinary solver runs on this operator unchanged.
+    """
+
+    bands_ext: jax.Array      # (n_diags, nd, m+2E) global / (n_diags, 1, m+2E) local
+    offsets: Tuple[int, ...]  # static
+    shape: Tuple[int, int]    # padded global
+    axis_name: str
+    ext: int                  # static: E = s_max · halo, rows per side
+
+    @property
+    def dtype(self):
+        return self.bands_ext.dtype
+
+    @property
+    def halo(self) -> int:
+        return max((abs(o) for o in self.offsets), default=0)
+
+    @property
+    def max_power(self) -> int:
+        """Exact local applications per exchange (ext // halo)."""
+        h = self.halo
+        return self.ext // h if h else 1 << 30
+
+    def pspec(self, axis_name=None) -> "MPKDIA":
+        a = axis_name or self.axis_name
+        return MPKDIA(
+            bands_ext=P(None, a, None),
+            offsets=self.offsets,
+            shape=self.shape,
+            axis_name=self.axis_name,
+            ext=self.ext,
+        )
+
+    def _halo_view(self) -> HaloDIA:
+        """HaloDIA on the central band columns (free slice under jit)."""
+        E = self.ext
+        L = self.bands_ext.shape[-1]
+        return HaloDIA(
+            bands=self.bands_ext[:, 0, E:L - E],
+            offsets=self.offsets,
+            shape=self.shape,
+            axis_name=self.axis_name,
+        )
+
+    def matvec(self, x_local: jax.Array) -> jax.Array:
+        return self._halo_view().matvec(x_local)
+
+    def matvec_dot(self, x_local: jax.Array):
+        return self._halo_view().matvec_dot(x_local)
+
+    def matmat(self, X_local: jax.Array) -> jax.Array:
+        return self._halo_view().matmat(X_local)
+
+    def diagonal(self) -> jax.Array:
+        d0 = self.offsets.index(0)
+        E = self.ext
+        L = self.bands_ext.shape[-1]
+        return self.bands_ext[d0, 0, E:L - E]
+
+    def mpk_extend(self, X_local: jax.Array) -> jax.Array:
+        """(m + 2·ext, *tail) window: X with ``ext`` neighbor rows each
+        side — ONE halo exchange (2 ppermutes) for the whole power chain.
+        Unmatched mesh edges read zero (the out-of-range convention)."""
+        ax = self.axis_name
+        E = self.ext
+        m = X_local.shape[0]
+        nd = lax.axis_size(ax)
+        if E == 0:
+            return X_local
+        right = lax.ppermute(
+            X_local[:E], ax, perm=[(i, (i - 1) % nd) for i in range(1, nd)]
+        )
+        left = lax.ppermute(
+            X_local[m - E:], ax,
+            perm=[(i, (i + 1) % nd) for i in range(nd - 1)],
+        )
+        return jnp.concatenate([left, X_local, right], axis=0)
+
+    def mpk_apply(self, Xe: jax.Array) -> jax.Array:
+        """One band product on the extended window — pure local compute.
+        Row j of the window is global row (start − ext + j); its result is
+        exact wherever the inputs were (window edges shrink by halo per
+        application, the caller's accuracy contract)."""
+        L = Xe.shape[0]
+        Ye = jnp.zeros(
+            Xe.shape, dtype=jnp.result_type(self.dtype, Xe.dtype)
+        )
+
+        def zrows(r):
+            shp = (r,) + Xe.shape[1:]
+            return jnp.zeros(shp, Xe.dtype)
+
+        for d, off in enumerate(self.offsets):
+            band = self.bands_ext[d, 0]
+            if Xe.ndim > 1:
+                band = band[:, None]
+            if off == 0:
+                Ye = Ye + band * Xe
+            elif off > 0:
+                Ye = Ye + band * jnp.concatenate([Xe[off:], zrows(off)])
+            else:
+                Ye = Ye + band * jnp.concatenate([zrows(-off), Xe[:off]])
+        return Ye
+
+    def mpk_central(self, Xe: jax.Array) -> jax.Array:
+        """Slice the central row block back out of a window vector."""
+        E = self.ext
+        L = Xe.shape[0]
+        return Xe[E:L - E]
+
+
+jax.tree_util.register_dataclass(
+    MPKDIA,
+    data_fields=("bands_ext",),
+    meta_fields=("offsets", "shape", "axis_name", "ext"),
+)
+
+
+def partition_dia_mpk(
+    m: DIA, n_devices: int, s: int, axis_name: str = "rows"
+) -> MPKDIA:
+    """DIA → :class:`MPKDIA` with band windows sized for s-step methods
+    (``ext = s · halo``).  Same identity row padding as
+    :func:`partition_dia`."""
+    base = partition_dia(m, n_devices, axis_name)
+    bands = np.asarray(base.bands)
+    h = base.halo
+    E = int(s) * h
+    n_pad = base.shape[0]
+    mm = n_pad // n_devices
+    if E > mm:
+        raise ValueError(
+            f"extension {E} = s·halo exceeds rows-per-device {mm}; "
+            "reduce s or use fewer devices"
+        )
+    padded = np.zeros((bands.shape[0], n_pad + 2 * E), dtype=bands.dtype)
+    padded[:, E:E + n_pad] = bands
+    ext = np.empty((bands.shape[0], n_devices, mm + 2 * E), dtype=bands.dtype)
+    for i in range(n_devices):
+        ext[:, i, :] = padded[:, i * mm: i * mm + mm + 2 * E]
+    return MPKDIA(
+        bands_ext=jnp.asarray(ext),
+        offsets=base.offsets,
+        shape=base.shape,
+        axis_name=axis_name,
+        ext=E,
+    )

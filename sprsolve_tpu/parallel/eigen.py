@@ -39,41 +39,14 @@ from ..errors import SolveInfo
 from ..precond import DiagPrecond
 from ..solvers.lobpcg import lobpcg
 from ..sparse.containers import CSR, DIA
+from ..utils.bounds import gershgorin_bounds
 from .dist_operator import (
     AllGatherELL, HaloDIA, auto_mesh, partition_csr, partition_dia,
 )
 from .solve import make_solver_specs
 
 
-def _gershgorin_bounds(A) -> tuple:
-    """(lower, upper) eigenvalue bounds of a host CSR/DIA container."""
-    if isinstance(A, DIA):
-        bands = np.asarray(A.bands)
-        diag = bands[A.offsets.index(0)] if 0 in A.offsets else np.zeros(
-            A.shape[0], bands.dtype
-        )
-        radius = np.zeros(A.shape[0], dtype=np.float64)
-        n = A.shape[0]
-        for d, off in enumerate(A.offsets):
-            if off == 0:
-                continue
-            # band d stores a_{i, i+off} at row index i (DIA convention of
-            # sparse/containers.py): rows 0..n-|off| carry real entries
-            radius += np.abs(bands[d])
-        lo = float(np.min(diag.real - radius))
-        hi = float(np.max(diag.real + radius))
-        return lo, hi
-    data = np.asarray(A.data)
-    indices = np.asarray(A.indices)
-    indptr = np.asarray(A.indptr)
-    n = A.shape[0]
-    rows = np.repeat(np.arange(n), np.diff(indptr))
-    off = rows != indices
-    radius = np.bincount(rows[off], weights=np.abs(data[off]), minlength=n)
-    diag = np.zeros(n, dtype=np.float64)
-    dmask = ~off
-    diag[rows[dmask]] = data[dmask].real
-    return float(np.min(diag - radius)), float(np.max(diag + radius))
+_gershgorin_bounds = gershgorin_bounds  # shared host-side estimate
 
 
 def _pad_rows(A_parts, n: int, largest: bool, bounds) -> "AllGatherELL | HaloDIA":

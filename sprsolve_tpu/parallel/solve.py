@@ -19,7 +19,8 @@ from ..errors import SolveInfo
 from ..precond import DiagPrecond
 from ..sparse.containers import CSR, DIA
 from .dist_operator import (
-    AllGatherELL, HaloDIA, auto_mesh, partition_csr, partition_dia,
+    AllGatherELL, HaloDIA, MPKDIA, auto_mesh, partition_csr, partition_dia,
+    partition_dia_mpk,
 )
 from .pallas_dist import DistComplexPaddedDIA, DistPaddedDIA
 
@@ -48,6 +49,7 @@ def distributed_solve(
     max_iter,
     mesh: Optional[Mesh] = None,
     axis_name: str = "rows",
+    mpk_s: Optional[int] = None,
 ):
     """Solve A·x = b with ``solver_fn`` row-partitioned over ``mesh``.
 
@@ -55,15 +57,28 @@ def distributed_solve(
     partitioned :class:`AllGatherELL` / :class:`HaloDIA`.  ``M`` (optional)
     must be a :class:`DiagPrecond`; its diagonal is sharded with the rows.
     Returns the global ``(x, SolveInfo)``.
+
+    ``mpk_s``: partition a host DIA with matrix-powers band windows
+    (:class:`MPKDIA`, depth ``mpk_s``) so an s-step solver — pass
+    ``functools.partial(ca_cg, s=..., bounds=...)`` as ``solver_fn`` —
+    amortizes its halo exchanges.
     """
     mesh = auto_mesh(mesh, axis_name)
     n_dev = mesh.shape[axis_name]
 
     if isinstance(A, CSR):
+        if mpk_s:
+            raise TypeError(
+                "matrix-powers partitioning (mpk_s) needs a banded DIA "
+                "operator; convert with A.to_dia()"
+            )
         A_parts = partition_csr(A, n_dev, axis_name)
     elif isinstance(A, DIA):
-        A_parts = partition_dia(A, n_dev, axis_name)
-    elif isinstance(A, (AllGatherELL, HaloDIA, DistPaddedDIA,
+        A_parts = (
+            partition_dia_mpk(A, n_dev, mpk_s, axis_name)
+            if mpk_s else partition_dia(A, n_dev, axis_name)
+        )
+    elif isinstance(A, (AllGatherELL, HaloDIA, MPKDIA, DistPaddedDIA,
                     DistComplexPaddedDIA)):
         A_parts = A
     else:
