@@ -44,6 +44,7 @@ from .solvers import (
     color_masks,
     cg,
     cg_single_sync,
+    ca_bicgstab,
     ca_cg,
     cgs,
     cocg,
@@ -81,6 +82,7 @@ __all__ = [
     "block_cg",
     "cg",
     "cg_single_sync",
+    "ca_bicgstab",
     "ca_cg",
     "gmres",
     "idrs",

@@ -5,6 +5,7 @@
 from .bicgstab import bicgstab
 from .bicgstabl import bicgstabl
 from .block_cg import batched, block_cg
+from .ca_bicgstab import ca_bicgstab
 from .ca_cg import ca_cg
 from .cg import cg, cg_single_sync
 from .gmres import gmres
@@ -36,6 +37,7 @@ __all__ = [
     "block_cg",
     "cg",
     "cg_single_sync",
+    "ca_bicgstab",
     "ca_cg",
     "gmres",
     "idrs",
