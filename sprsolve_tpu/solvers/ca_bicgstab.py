@@ -63,6 +63,13 @@ basis when ``bounds`` are given (Gershgorin is free:
 :func:`sprsolve_tpu.gershgorin_bounds`); for strongly nonsymmetric spectra
 the real-interval Chebyshev basis still conditions on the field-of-values
 projection onto the real axis, which the convection-diffusion tests cover.
+
+Single-chip cost (measured, BENCH_NOTES "s-step family"): the basis build
+applies A to a 2-column block 2s times per s iterations — ~2× plain
+BiCGStab's SpMV work — and on one chip that is pure cost: 1,062 µs/iter
+vs plain's 583 at 1M rows.  Reach for this solver only across a mesh
+where reduction-round latency dominates; on a single chip prefer
+:func:`~sprsolve_tpu.solvers.bicgstabl.bicgstabl`.
 """
 
 from __future__ import annotations

@@ -21,6 +21,12 @@ of s plain SpMVs, so a whole block of s CG iterations costs 2 ppermutes +
 1 all-reduce — vs s·(2 ppermutes + 2 all-reduces) for plain CG.  Certified
 from compiled HLO in ``tests/test_ca_cg.py``.
 
+Single-chip cost (measured, BENCH_NOTES "s-step family"): the basis build
+applies A to the stacked [p, r] 2-column block s times per s iterations —
+~2× plain CG's SpMV work — and on one chip that is pure cost (556 µs/iter
+vs plain cg's 328 at 1M rows).  This solver's regime is a mesh where
+reduction/halo latency dominates; on a single chip prefer :func:`cg`.
+
 Basis conditioning is the classical CA trade: the monomial basis ρ_j = λʲ
 has condition growing like κ(A)^s, so the default is the **Chebyshev basis**
 on a spectral interval [lo, hi] (pass ``bounds``; Gershgorin bounds are
