@@ -30,6 +30,7 @@ from .precond import (
     estimate_spectral_bounds,
     IC0Precond,
     ILU0Precond,
+    InnerSolvePrecond,
     RelayedPrecond,
 )
 from .utils.bounds import gershgorin_bounds
@@ -50,6 +51,7 @@ from .solvers import (
     cocg,
     cs_minres,
     shift_invert_eigs,
+    fgmres,
     gauss_seidel,
     gauss_seidel_redblack,
     gmres,
@@ -84,6 +86,7 @@ __all__ = [
     "cg_single_sync",
     "ca_bicgstab",
     "ca_cg",
+    "fgmres",
     "gmres",
     "idrs",
     "lobpcg",
@@ -127,6 +130,7 @@ __all__ = [
     "estimate_spectral_bounds",
     "gershgorin_bounds",
     "ILU0Precond",
+    "InnerSolvePrecond",
     "IC0Precond",
     "RelayedPrecond",
     "optimize",

@@ -38,6 +38,7 @@ from .solvers import (
     cgs,
     cocg,
     cs_minres,
+    fgmres,
     gauss_seidel,
     gmres,
     idrs,
@@ -112,6 +113,7 @@ _SOLVERS = {
     "minres": minres,
     "tfqmr": tfqmr,
     "cs_minres": cs_minres,
+    "fgmres": fgmres,
     "gmres": gmres,
     "idrs": idrs,
     "lsqr": lsqr,

@@ -625,3 +625,75 @@ def real_abs_jacobi(op) -> "DiagPrecond":
     d[d == 0] = 1.0
     rdt = d.dtype if d.dtype in (np.float32, np.float64) else np.float32
     return DiagPrecond.new(d.astype(rdt))
+
+
+@dataclasses.dataclass(frozen=True)
+class InnerSolvePrecond:
+    """Preconditioner that applies a budgeted INNER Krylov solve: z ≈ A⁻¹·r.
+
+    The inner-outer pattern (Saad, *Iterative Methods* §9.4): a few CG /
+    BiCGStab / Chebyshev-free iterations make a far stronger preconditioner
+    than one Jacobi/ILU apply, but the resulting map r ↦ z is a *nonlinear*
+    function of r (Krylov polynomials depend on the input), so the outer
+    solver must be flexible — use :func:`sprsolve_tpu.solvers.fgmres`, which
+    keeps the per-step preconditioned basis instead of assuming a fixed M.
+    Plain right-preconditioned GMRES with this M silently reconstructs the
+    update with the WRONG operator (tested divergence in
+    ``tests/test_fgmres.py``).
+
+    The inner solve starts from z₀ = 0 each apply, runs at most ``iters``
+    steps (``inner_tol`` allows early exit — the variability is what FGMRES
+    exists to absorb), ignores its convergence status, and compiles into the
+    outer ``lax.while_loop`` body as a nested loop — no host round-trips.
+    ``A`` should be the SAME (possibly layout-padded) operator the outer
+    solve runs on, so vector layouts agree; ``inner_M`` optionally
+    preconditions the inner solve itself (e.g. Jacobi-in-CG-in-FGMRES).
+    """
+
+    A: object
+    inner_M: object = None
+    method: str = "cg"
+    iters: int = 8
+    inner_tol: float = 0.0
+    axis_name: object = None
+
+    @property
+    def shape(self):
+        return getattr(self.A, "shape", None)
+
+    def _solver(self):
+        from . import solvers
+
+        try:
+            return getattr(solvers, self.method)
+        except AttributeError:
+            from .errors import InvalidPreconditioner
+
+            raise InvalidPreconditioner(
+                f"InnerSolvePrecond: unknown inner method {self.method!r}"
+            )
+
+    def matvec(self, r: jax.Array) -> jax.Array:
+        solve = self._solver()
+        z, _info = solve(
+            self.A,
+            r,
+            M=self.inner_M,
+            tol=self.inner_tol,
+            max_iter=self.iters,
+            axis_name=self.axis_name,
+        )
+        return z
+
+    def matvec_dot(self, r: jax.Array):
+        from .vecalg import conj_dot
+
+        z = self.matvec(r)
+        return z, conj_dot(r, z, self.axis_name)
+
+
+jax.tree_util.register_dataclass(
+    InnerSolvePrecond,
+    data_fields=("A", "inner_M"),
+    meta_fields=("method", "iters", "inner_tol", "axis_name"),
+)

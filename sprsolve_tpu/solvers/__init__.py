@@ -8,6 +8,7 @@ from .block_cg import batched, block_cg
 from .ca_bicgstab import ca_bicgstab
 from .ca_cg import ca_cg
 from .cg import cg, cg_single_sync
+from .fgmres import fgmres
 from .gmres import gmres
 from .idrs import idrs
 from .lobpcg import lobpcg
@@ -39,6 +40,7 @@ __all__ = [
     "cg_single_sync",
     "ca_bicgstab",
     "ca_cg",
+    "fgmres",
     "gmres",
     "idrs",
     "lobpcg",

@@ -18,7 +18,7 @@ import sprsolve_tpu as sp
 from sprsolve_tpu import errors
 
 # methods needing symmetry / definiteness get their own fixture class
-_GENERAL = ["bicgstab", "bicgstabl", "cgs", "tfqmr", "gmres", "idrs"]
+_GENERAL = ["bicgstab", "bicgstabl", "cgs", "tfqmr", "gmres", "fgmres", "idrs"]
 _SPD = ["cg", "minres"]
 _PRECONDS = [None, "jacobi", "block_jacobi", "ilu0", "amg"]
 
