@@ -65,6 +65,15 @@ print(f"{'MINRES + SSOR':27s} {int(info.iterations):4d} iters  rel-res {relres(A
 x, info = sp.solve(A, b, method="gmres", restart=32, tol=1e-12, max_iter=1000)
 print(f"{'GMRES(32)':27s} {int(info.iterations):4d} iters  rel-res {relres(A, x, b):.2e}")
 
+# --- inner-outer: FGMRES with a budgeted inner CG as the preconditioner ----
+Minner = sp.InnerSolvePrecond(
+    Aspd, inner_M=sp.DiagPrecond.new(Aspd.diagonal()), method="cg", iters=8
+)
+x, info = sp.solve(
+    Aspd, bspd, method="fgmres", M=Minner, restart=30, tol=1e-10, max_iter=600
+)
+print(f"{'FGMRES(30) + inner CG(8)':27s} {int(info.iterations):4d} iters  rel-res {relres(Aspd, x, bspd):.2e}")
+
 # --- hard nonsymmetric: IDR(s) ---------------------------------------------
 x, info = sp.solve(A, b, method="idrs", s=4, tol=1e-12, max_iter=3000)
 print(f"{'IDR(4)':27s} {int(info.iterations):4d} SpMVs  rel-res {relres(A, x, b):.2e}")

@@ -229,7 +229,8 @@ def main(argv=None):
     p_solve.add_argument(
         "--method", default="auto",
         choices=["auto", "bicgstab", "bicgstabl", "cg", "cgs", "tfqmr",
-                 "minres", "cs_minres", "cocg", "gmres", "idrs", "lsqr"],
+                 "minres", "cs_minres", "cocg", "gmres", "fgmres", "idrs",
+                 "lsqr"],
     )
     p_solve.add_argument(
         "--precond", default="none",
