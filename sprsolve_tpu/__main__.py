@@ -228,9 +228,9 @@ def main(argv=None):
     p_solve.add_argument("--rhs", help=".npy/.mtx/text file for b (default: ones)")
     p_solve.add_argument(
         "--method", default="auto",
-        choices=["auto", "bicgstab", "bicgstabl", "cg", "cgs", "tfqmr",
-                 "minres", "cs_minres", "cocg", "gmres", "fgmres", "idrs",
-                 "lsqr"],
+        choices=["auto", "bicgstab", "bicgstabl", "ca_bicgstab", "ca_cg",
+                 "cg", "cg_single_sync", "cgs", "tfqmr", "minres",
+                 "cs_minres", "cocg", "gmres", "fgmres", "idrs", "lsqr"],
     )
     p_solve.add_argument(
         "--precond", default="none",

@@ -33,6 +33,8 @@ from .ops.operator import as_operator
 from .solvers import (
     bicgstab,
     bicgstabl,
+    ca_bicgstab,
+    ca_cg,
     cg,
     cg_single_sync,
     cgs,
@@ -106,6 +108,8 @@ def _auto_method(A, parity: str = "fast") -> str:
 _SOLVERS = {
     "bicgstab": bicgstab,
     "bicgstabl": bicgstabl,
+    "ca_bicgstab": ca_bicgstab,
+    "ca_cg": ca_cg,
     "cg": cg,
     "cg_single_sync": cg_single_sync,
     "cgs": cgs,
@@ -118,6 +122,64 @@ _SOLVERS = {
     "idrs": idrs,
     "lsqr": lsqr,
 }
+
+# the s-step pair runs a dedicated pipeline in solve(): flat-vector layouts
+# only (no pad_vec kernels — the basis block stacks [p, r]), Gershgorin
+# bounds defaulted for the Chebyshev basis, and Jacobi preconditioning by
+# operator folding (ca_cg) instead of an M apply
+_CA_METHODS = ("ca_cg", "ca_bicgstab")
+
+
+def _solve_ca(A, b, *, method, M, tol, max_iter, x0, optimize_layout,
+              **solver_kwargs):
+    """:func:`solve`'s s-step pipeline (ca_cg / ca_bicgstab).
+
+    The CA solvers take no ``M`` argument — their basis is a polynomial in
+    the bare operator.  ``ca_cg`` accepts ``M='jacobi'`` (or a real
+    :class:`~sprsolve_tpu.precond.DiagPrecond`) by *folding* it into the
+    system via symmetric diagonal scaling
+    (:func:`~sprsolve_tpu.solvers.ca_cg.fold_jacobi`) — mathematically
+    Jacobi-CG, structurally still one all-reduce per s-block.  Execution
+    layout: unpadded DIA when the pattern is banded (the XLA shifted-slice
+    path), else the CSR gather path; never a padded kernel layout.
+    """
+    from .errors import InvalidPreconditioner
+    from .sparse.containers import CSC, DIA
+    from .solvers.ca_cg import fold_jacobi
+    from .utils.bounds import gershgorin_bounds
+
+    src = A.to_csr() if isinstance(A, CSC) else A
+
+    unfold = None
+    if M is not None:
+        foldable = isinstance(M, str) and M == "jacobi"
+        if method != "ca_cg" or not foldable or not isinstance(src, CSR):
+            raise InvalidPreconditioner(
+                "the s-step solvers take no M apply (the CA basis is a "
+                "polynomial in the bare operator); ca_cg supports "
+                "M='jacobi' on a CSR/CSC input by folding it into the "
+                "system — for anything stronger use cg/cg_single_sync/"
+                "bicgstab with M"
+            )
+        src, b, x0, unfold = fold_jacobi(src, b, x0)
+
+    op = src
+    if isinstance(src, CSR) and optimize_layout:
+        try:
+            op = src.to_dia()
+        except ValueError:
+            op = src  # wide/unstructured pattern: CSR gather path
+
+    if solver_kwargs.get("bounds") is None and isinstance(op, (CSR, DIA)):
+        solver_kwargs["bounds"] = gershgorin_bounds(op)
+
+    solver = _SOLVERS[method]
+    x_run, info = jax.jit(
+        partial(solver, tol=tol, max_iter=max_iter, **solver_kwargs)
+    )(op, jnp.asarray(b), x0 if x0 is None else jnp.asarray(x0))
+    if unfold is not None:
+        x_run = unfold(x_run)
+    return x_run, info
 
 
 def _prepare_op_M(A, method: str, M, optimize_layout: bool):
@@ -294,12 +356,19 @@ def solve(
     Jacobi), ``"cgs"`` / ``"tfqmr"`` (transpose-free CGS-family methods:
     CGS converges fast but erratically, TFQMR smooths it at the same
     2-SpMV/iter cost), ``"gmres"`` (accepts ``restart=``), ``"idrs"``
-    (accepts ``s=``), ``"lsqr"`` (rectangular; accepts ``damp=``/``AH=``).
+    (accepts ``s=``), ``"lsqr"`` (rectangular; accepts ``damp=``/``AH=``),
+    ``"ca_cg"`` / ``"ca_bicgstab"`` (s-step communication-avoiding pair;
+    accept ``s=``/``basis=``/``bounds=``, bounds defaulting to Gershgorin —
+    mesh-latency optimized, ~2× the SpMV work on a single chip).
     See ``docs/solvers.md`` for the selection guide.
 
     ``M``: a preconditioner object, or one of the strings ``"jacobi"``,
     ``"block_jacobi"``, ``"ilu0"``, ``"ic0"``, ``"amg"`` (built from the
-    matrix here).  For ``method="cs_minres"`` only ``"jacobi"`` (which
+    matrix here).  ``method="ca_cg"`` supports ``M="jacobi"`` only, by
+    folding it into the operator (symmetric diagonal scaling — ``tol``
+    then applies to the preconditioned-residual norm; see
+    :func:`~sprsolve_tpu.solvers.ca_cg.fold_jacobi`); ``ca_bicgstab``
+    takes no M.  For ``method="cs_minres"`` only ``"jacobi"`` (which
     builds the real 1/|d| the Saunders process requires) or a real
     symmetric-positive operator is accepted.  See
     ``docs/preconditioners.md``.
@@ -327,6 +396,12 @@ def solve(
     if x0 is not None and n is not None and jnp.shape(x0) != (n,):
         raise IncompatibleMatrixFormat(
             "x0 dimension doesn't match the matrix size"
+        )
+
+    if method in _CA_METHODS:
+        return _solve_ca(
+            A, b, method=method, M=M, tol=tol, max_iter=max_iter, x0=x0,
+            optimize_layout=optimize_layout, **solver_kwargs,
         )
 
     op, M, padded = _prepare_op_M(A, method, M, optimize_layout)

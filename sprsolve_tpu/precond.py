@@ -661,17 +661,27 @@ class InnerSolvePrecond:
     def shape(self):
         return getattr(self.A, "shape", None)
 
+    # inner methods with the standard (A, b, x0=None, *, M=None, tol,
+    # max_iter, axis_name=...) -> (x, info) signature.  A whitelist, not a
+    # getattr over the whole solvers package: names like 'lobpcg' or
+    # 'block_cg' exist there but have incompatible signatures and would
+    # otherwise fail deep inside the jit trace with an opaque error.
+    _INNER_METHODS = (
+        "cg", "cg_single_sync", "bicgstab", "bicgstabl", "cgs", "tfqmr",
+        "minres", "gmres", "fgmres", "idrs", "cocg", "cs_minres",
+    )
+
     def _solver(self):
+        from .errors import InvalidPreconditioner
+
+        if self.method not in self._INNER_METHODS:
+            raise InvalidPreconditioner(
+                f"InnerSolvePrecond: inner method {self.method!r} is not "
+                f"supported (choose one of {', '.join(self._INNER_METHODS)})"
+            )
         from . import solvers
 
-        try:
-            return getattr(solvers, self.method)
-        except AttributeError:
-            from .errors import InvalidPreconditioner
-
-            raise InvalidPreconditioner(
-                f"InnerSolvePrecond: unknown inner method {self.method!r}"
-            )
+        return getattr(solvers, self.method)
 
     def matvec(self, r: jax.Array) -> jax.Array:
         solve = self._solver()

@@ -80,6 +80,54 @@ def _basis_change(s: int, basis: str, theta: float, delta: float) -> np.ndarray:
     return B
 
 
+def fold_jacobi(A, b, x0=None):
+    """Fold a Jacobi preconditioner into the system by symmetric diagonal
+    scaling: Ā = D^{-1/2}·A·D^{-1/2}, b̄ = D^{-1/2}·b, x = D^{-1/2}·x̄.
+
+    This is THE way to precondition an s-step solver with Jacobi: a
+    preconditioned CA basis needs M-polynomial machinery, but running
+    plain ``ca_cg`` on the symmetrically scaled system reproduces
+    Jacobi-CG's convergence (same Krylov space in the D-inner product)
+    while leaving the block structure — and its 1-all-reduce /
+    2-ppermute per s-block collective counts — unchanged.
+
+    Host-side O(nnz), built once per system.  Returns
+    ``(A_scaled, b_scaled, x0_scaled, unfold)`` with ``x = unfold(x̄)``.
+    ``A`` must be a host CSR container with a positive(-magnitude)
+    diagonal (SPD/HPD systems — ``ca_cg``'s domain).
+
+    Convergence semantics: the solver's ``tol`` then applies to the
+    residual of the SCALED system, ‖D^{-1/2}(b − A·x)‖ / ‖D^{-1/2}b‖ —
+    i.e. the *preconditioned* residual norm, the same criterion PETSc's
+    KSP uses by default under left preconditioning.  The original-system
+    relative residual can sit up to ~κ(D)^{1/2} above it; tighten ``tol``
+    if the unscaled norm is what you need.
+    """
+    from ..sparse.containers import CSR
+
+    d = np.asarray(A.diagonal())
+    mag = np.abs(d).astype(np.float64)
+    mag[mag == 0] = 1.0
+    s_host = 1.0 / np.sqrt(mag)
+    rows = np.asarray(A.row_ids, dtype=np.int64)
+    cols = np.asarray(A.indices, dtype=np.int64)
+    data = np.asarray(A.data) * (s_host[rows] * s_host[cols])
+    A_s = CSR.from_arrays(
+        data.astype(np.asarray(A.data).dtype), A.indices, A.indptr, A.shape
+    )
+    rdt = jnp.finfo(jnp.asarray(b).dtype).dtype if not jnp.iscomplexobj(
+        jnp.asarray(b)
+    ) else jnp.real(jnp.asarray(b)).dtype
+    s_dev = jnp.asarray(s_host, dtype=rdt)
+    b_s = jnp.asarray(b) * s_dev
+    x0_s = None if x0 is None else jnp.asarray(x0) / s_dev
+
+    def unfold(x_s):
+        return x_s * s_dev
+
+    return A_s, b_s, x0_s, unfold
+
+
 class _State(NamedTuple):
     x: jax.Array
     r: jax.Array       # recurrence residual (re-anchored exactly each outer)

@@ -25,8 +25,11 @@ Givens / restart choices):
   a nested ``while_loop`` in the same XLA program (no host round-trips).
 
 Convergence is monitored on the recurrence residual of the ORIGINAL system
-(right preconditioning leaves the true residual observable), and every
-restart recomputes the true residual, exactly as in ``gmres.py``.
+(right preconditioning leaves the true residual observable); every restart
+starts from the true residual, and CONVERGED is only declared after a
+true-residual confirmation at cycle end (recurrence drift under a strongly
+variable inner-solve M triggers another restart instead of a false
+positive), exactly as in ``gmres.py``.
 """
 
 from __future__ import annotations
@@ -44,9 +47,10 @@ from .common import check_shapes, make_info
 
 class _Outer(NamedTuple):
     x: jax.Array
+    r: jax.Array         # true residual vector b − A·x (flattened)
     its: jax.Array
     status: jax.Array
-    res: jax.Array
+    res: jax.Array       # relative TRUE residual of x
     hist: jax.Array
 
 
@@ -191,9 +195,9 @@ def fgmres(
             return (s.status == Status.RUNNING) & (s.its < max_iter)
 
         def outer_body(s: _Outer):
-            r = (b - A.matvec(s.x).reshape(vshape)).reshape(size)
+            # carried TRUE residual of s.x (computed at previous cycle end)
+            r = s.r
             beta = norm2(r, axis_name)
-            res_rel = beta / rhs_norm
 
             V0 = jnp.zeros((m + 1, size), T)
             V0 = V0.at[0].set(r / jnp.maximum(beta, tiny))
@@ -235,7 +239,17 @@ def fgmres(
             dx = jnp.matmul(y, basis, precision=_hp).reshape(vshape)
             x = s.x + dx
 
-            converged = fin.res_est <= threshold
+            # true-residual anchor at cycle end (same matvec budget — the
+            # cycle-top recompute moved here).  Matters more for FGMRES
+            # than for GMRES: a strongly variable inner-solve M lets the
+            # CGS2 recurrence estimate drift from the true residual, so
+            # CONVERGED is confirmed on the true residual (else the outer
+            # loop restarts from it), and every exit — BREAKDOWN included,
+            # whose branch forces g[j+1]=0 — reports the actual residual
+            r_new = (b - A.matvec(x).reshape(vshape)).reshape(size)
+            res_true = norm2(r_new, axis_name) / rhs_norm
+
+            converged = (fin.res_est <= threshold) & (res_true <= tol)
             status = jnp.where(
                 converged & (fin.status == Status.RUNNING),
                 jnp.int32(Status.CONVERGED),
@@ -243,19 +257,20 @@ def fgmres(
             )
             return _Outer(
                 x=x,
+                r=r_new,
                 its=s.its + k,
                 status=status,
-                res=jnp.where(
-                    status == Status.RUNNING, res_rel, fin.res_est / rhs_norm
-                ),
+                res=res_true,
                 hist=fin.hist,
             )
 
+        r0 = (b - A.matvec(x0).reshape(vshape)).reshape(size)
         st0 = _Outer(
             x=x0,
+            r=r0,
             its=jnp.int32(0),
             status=jnp.int32(Status.RUNNING),
-            res=jnp.ones((), rdt),
+            res=norm2(r0, axis_name) / rhs_norm,
             hist=jnp.full(hist_len, jnp.nan, dtype=rdt),
         )
         final = lax.while_loop(outer_cond, outer_body, st0)

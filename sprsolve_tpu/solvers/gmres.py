@@ -47,9 +47,10 @@ from .common import check_shapes, make_info
 
 class _Outer(NamedTuple):
     x: jax.Array
+    r: jax.Array         # true residual vector b − A·x (flattened)
     its: jax.Array       # total inner (Arnoldi) steps taken
     status: jax.Array
-    res: jax.Array       # relative true residual at the last cycle top
+    res: jax.Array       # relative TRUE residual of x
     hist: jax.Array
 
 
@@ -199,11 +200,11 @@ def gmres(
             return (s.status == Status.RUNNING) & (s.its < max_iter)
 
         def outer_body(s: _Outer):
-            # true residual at every cycle top: honest restarts, and the
+            # the carried residual is the TRUE residual of s.x, computed at
+            # the end of the previous cycle — honest restarts, and the
             # convergence that ends the outer loop is never an estimate
-            r = (b - A.matvec(s.x).reshape(vshape)).reshape(size)
+            r = s.r
             beta = norm2(r, axis_name)
-            res_rel = beta / rhs_norm
 
             V0 = jnp.zeros((m + 1, size), T)
             V0 = V0.at[0].set(r / jnp.maximum(beta, tiny))
@@ -244,7 +245,16 @@ def gmres(
             dx = M.matvec(dz) if M is not None else dz
             x = s.x + dx
 
-            converged = fin.res_est <= threshold
+            # true-residual anchor at cycle end (same matvec budget — the
+            # cycle-top recompute moved here): CONVERGED is only declared
+            # when the TRUE residual passes, so recurrence drift triggers
+            # another restart instead of a false positive; and every exit
+            # (BREAKDOWN included, whose branch forces g[j+1]=0) reports
+            # the actual residual of x, never the estimate
+            r_new = (b - A.matvec(x).reshape(vshape)).reshape(size)
+            res_true = norm2(r_new, axis_name) / rhs_norm
+
+            converged = (fin.res_est <= threshold) & (res_true <= tol)
             status = jnp.where(
                 converged & (fin.status == Status.RUNNING),
                 jnp.int32(Status.CONVERGED),
@@ -252,19 +262,20 @@ def gmres(
             )
             return _Outer(
                 x=x,
+                r=r_new,
                 its=s.its + k,
                 status=status,
-                res=jnp.where(
-                    status == Status.RUNNING, res_rel, fin.res_est / rhs_norm
-                ),
+                res=res_true,
                 hist=fin.hist,
             )
 
+        r0 = (b - A.matvec(x0).reshape(vshape)).reshape(size)
         st0 = _Outer(
             x=x0,
+            r=r0,
             its=jnp.int32(0),
             status=jnp.int32(Status.RUNNING),
-            res=jnp.ones((), rdt),
+            res=norm2(r0, axis_name) / rhs_norm,
             hist=jnp.full(hist_len, jnp.nan, dtype=rdt),
         )
         final = lax.while_loop(outer_cond, outer_body, st0)
