@@ -958,6 +958,10 @@ def main():
     t2d_iter = time_solve_periter(lambda mi: build2d(mi, 0.0), iters_forced=30000)
     solve_report("bicgstab 100x100 grid (reference workload)", i2d, 1e-7,
                  t2d_iter)
+    log("  note: the reference harness (benches/bicgstab.rs:14-37) runs this "
+        "grid at tol 1e-16 in f64; this line is the f32 TPU kernel path at "
+        "tol 1e-7 — reference fidelity at 1e-16/1e-17 lives in the x64 CPU "
+        "test suite (tests/test_solvers.py, tests/test_serial_parity.py)")
 
     # --- roofline accounting for the best SpMV path.  TWO byte models:
     #   nominal  — every stream at its logical f32 width (5.19 B/nnz for the
