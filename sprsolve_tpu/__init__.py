@@ -50,6 +50,7 @@ from .solvers import (
     cgs,
     cocg,
     cs_minres,
+    rational_filter_eigs,
     shift_invert_eigs,
     fgmres,
     gauss_seidel,
@@ -98,6 +99,7 @@ __all__ = [
     "bicgstabl",
     "cgs",
     "cocg",
+    "rational_filter_eigs",
     "shift_invert_eigs",
     "cs_minres",
     "with_real_planes",

@@ -20,6 +20,7 @@ from .refine import refine, refine_solve
 from .cgs import cgs
 from .cocg import cocg
 from .eigs import InvertedOperator, shift_invert_eigs
+from .rational import rational_filter_eigs
 from .cs_minres import cs_minres
 from .gauss_seidel import gauss_seidel
 from .redblack import (
@@ -55,6 +56,7 @@ __all__ = [
     "cs_minres",
     "InvertedOperator",
     "shift_invert_eigs",
+    "rational_filter_eigs",
     "gauss_seidel",
     "gauss_seidel_redblack",
     "ColoredELL",

@@ -60,6 +60,7 @@ class InvertedOperator:
     inner_tol: float = 1e-8
     inner_max_iter: int = 400
     axis_name: Optional[str] = None
+    method: str = "minres"
 
     @property
     def shape(self):
@@ -70,7 +71,22 @@ class InvertedOperator:
         return getattr(self.A, "dtype", None)
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        y, _ = minres(
+        if self.method == "minres":
+            solver = minres          # M must be symmetric positive
+        elif self.method == "fgmres":
+            # flexible inner: M may be ANY operator (multigrid on the
+            # indefinite shifted system, an inner Krylov sweep, ...) —
+            # MINRES's SPD-M restriction is the reason no available
+            # preconditioner helps it on A − σI (see BENCH_NOTES "Eigen")
+            from .fgmres import fgmres
+
+            solver = fgmres
+        else:
+            raise IncompatibleMatrixFormat(
+                f"InvertedOperator: unknown inner method {self.method!r} "
+                "(choose 'minres' or 'fgmres')"
+            )
+        y, _ = solver(
             self.A, x, M=self.M,
             tol=self.inner_tol, max_iter=self.inner_max_iter,
             axis_name=self.axis_name,
@@ -84,7 +100,7 @@ class InvertedOperator:
 jax.tree_util.register_dataclass(
     InvertedOperator,
     data_fields=("A", "M"),
-    meta_fields=("inner_tol", "inner_max_iter", "axis_name"),
+    meta_fields=("inner_tol", "inner_max_iter", "axis_name", "method"),
 )
 
 
@@ -113,6 +129,7 @@ def shift_invert_eigs(
     M_inner=None,
     inner_tol: Optional[float] = None,
     inner_max_iter: int = 400,
+    inner_method: str = "minres",
     tol: float = 1e-6,
     max_iter: int = 100,
     optimize_layout: bool = True,
@@ -130,9 +147,16 @@ def shift_invert_eigs(
     with two LOBPCG passes over the μ-spectrum's two ends), ``"above"`` /
     ``"below"`` (one pass, λ > σ resp. λ < σ only).
 
-    ``M_inner`` preconditions the inner MINRES solves; it must be symmetric
-    positive (MINRES's requirement) — for the *indefinite* A − σI the safe
-    default is none.  ``inner_tol`` defaults to ``min(tol·1e-2, 1e-8)``:
+    ``M_inner`` preconditions the inner solves.  With the default
+    ``inner_method="minres"`` it must be symmetric positive (MINRES's
+    requirement) — for the *indefinite* A − σI the safe default is none;
+    ``inner_method="fgmres"`` lifts that restriction (any operator,
+    including multigrid built on the shifted system or an inner Krylov
+    sweep).  For deep-interior σ where no such preconditioner exists,
+    :func:`~sprsolve_tpu.solvers.rational.rational_filter_eigs` replaces
+    the indefinite inner solves with well-conditioned complex-shifted ones
+    (the production interior path).  ``inner_tol`` defaults to
+    ``min(tol·1e-2, 1e-8)``:
     the inverse only needs to be applied accurately enough for the
     Rayleigh–Ritz space, and the final residuals are measured on A itself.
     """
@@ -176,6 +200,7 @@ def shift_invert_eigs(
     inv = InvertedOperator(
         A=shifted, M=M_inner,
         inner_tol=float(inner_tol), inner_max_iter=int(inner_max_iter),
+        method=str(inner_method),
     )
 
     # per-pass block size: with side="both", each pass still hunts k pairs
