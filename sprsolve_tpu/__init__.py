@@ -20,6 +20,7 @@ from .ops.operator import (
     LinearOperator,
     ShiftedOperator,
 )
+from .ops.hybrid import HybridDIA
 from .ops.optimize import optimize
 from .ops.pallas_spmv import ComplexPaddedDIA, PaddedDIA
 from .multigrid import GridMGPrecond
@@ -136,6 +137,7 @@ __all__ = [
     "IC0Precond",
     "RelayedPrecond",
     "optimize",
+    "HybridDIA",
     "PaddedDIA",
     "ComplexPaddedDIA",
     "SolveInfo",

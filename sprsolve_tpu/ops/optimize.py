@@ -13,13 +13,20 @@ TPU throughput on v5e:
 2. otherwise RCM-reorder and recount: banded-after-RCM matrices run the same
    DIA paths wrapped in :class:`~sprsolve_tpu.ops.reordered.Reordered`
    (permutations only at the solve boundary).
-3. otherwise compare wide DIA (XLA shifted slices) and BSR (dense-block MXU
-   batches; :class:`ComplexBSR` two-plane form for complex data) — on both
+3. otherwise compare wide DIA (XLA shifted slices), BSR (dense-block MXU
+   batches; :class:`ComplexBSR` two-plane form for complex data), and the
+   band+outlier :class:`~sprsolve_tpu.ops.hybrid.HybridDIA` split (banded
+   core at kernel speed + a priced COO sidecar for a small spill) — on both
    the original and the RCM pattern — ranked by predicted *time*
-   (bytes/nnz ÷ measured per-path bandwidth efficiency), taking the fastest
-   that fits the memory budget.
+   (bytes/nnz ÷ measured per-path bandwidth efficiency; the sidecar priced
+   at the measured 0.14 Gelem/s scatter rate), taking the fastest that
+   fits the memory budget.
 4. ELL (scalar-gather, ~0.12 Gnnz/s measured: three orders of magnitude under
-   roofline) only as a last resort, with a RuntimeWarning.
+   roofline) only as a last resort, with a RuntimeWarning.  That resort is
+   ARCHITECTURAL for truly structure-free patterns: every element-granular
+   data-movement primitive on this hardware is 128-lane-local, so no
+   formulation reaches memory speed on them — see BENCH_NOTES
+   "Unstructured sparsity" for the measured bound chain.
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ import numpy as np
 from ..native import csr_count_diagonals
 from ..sparse.bsr import BSR, ComplexBSR
 from ..sparse.containers import CSR, DIA, ELL, reorder_rcm
+from .hybrid import HybridDIA
 from .pallas_spmv import ComplexPaddedDIA, PaddedDIA
 from .reordered import Reordered
 
@@ -47,6 +55,13 @@ _BSR_SIZES = (128, 64, 32, 16, 8)
 # slower path on banded patterns (see tests/test_optimize.py).
 _EFF_XLA_DIA = 0.19
 _EFF_BSR = 0.90
+_EFF_PALLAS_DIA = 0.85
+
+# effective-bytes price of ONE outlier element in the hybrid sidecar:
+# time = n_out / 0.14e9 s (measured XLA scatter/gather rate on v5e,
+# tools/probe_unstructured.py), expressed on the same scale as the byte
+# scores (score·nnz/BW = time with BW = 819 GB/s): 819e9/0.14e9 ≈ 5850
+_SCATTER_BYTES_EQ = 5850.0
 
 
 def _dia_operator(m: CSR, max_diags: int, prefer_pallas: bool):
@@ -58,6 +73,16 @@ def _dia_operator(m: CSR, max_diags: int, prefer_pallas: bool):
     if prefer_pallas and m.data.dtype == jnp.float32:
         return PaddedDIA.from_dia(dia)
     return dia
+
+
+def _hybrid_stats(m: CSR, max_diags: int):
+    """(core diag count, outlier count) of the heaviest-offsets split."""
+    rows = np.asarray(m.row_ids, np.int64)
+    cols = np.asarray(m.indices, np.int64)
+    _, counts = np.unique(cols - rows, return_counts=True)
+    counts = np.sort(counts)[::-1]
+    nd_core = min(max_diags, len(counts))
+    return nd_core, int(counts[nd_core:].sum())
 
 
 def _bsr_cost(m: CSR, itemsize: int, mem_limit: int):
@@ -83,6 +108,7 @@ def optimize(
     prefer_pallas: bool = True,
     allow_reorder: bool = True,
     allow_bsr: bool = True,
+    allow_hybrid: bool = True,
     wide_diags: int = 192,
     mem_limit_bytes: int = 4 << 30,
     measure: bool = False,
@@ -161,6 +187,33 @@ def optimize(
                     (bpn / _EFF_BSR, f"bsr{bs}{tag}",
                      lambda cm=cand_m, cp=cand_perm, bs=bs, cls=blk_cls: _wrap(
                          cls.from_csr(cm, bs=bs), cp
+                     ))
+                )
+        if allow_hybrid:
+            # band+outlier split: the heaviest max_diags offsets become a
+            # DIA/Pallas core and the spill a priced COO sidecar — closes
+            # the cliff where a handful of long-range entries used to
+            # disqualify the whole banded fast path (VERDICT r4 #1)
+            nd_core, n_out = _hybrid_stats(cand_m, max_diags)
+            cap = max(4096, nnz // 100)
+            if 0 < n_out <= cap:
+                eff_core = (
+                    _EFF_PALLAS_DIA
+                    if prefer_pallas and cand_m.data.dtype == jnp.float32
+                    else _EFF_XLA_DIA
+                )
+                bpn_core = (nd_core + 2) * n * itemsize / nnz
+                score = (
+                    bpn_core / eff_core + _SCATTER_BYTES_EQ * n_out / nnz
+                )
+                candidates.append(
+                    (score, f"hybrid{nd_core}+{n_out}{tag}",
+                     lambda cm=cand_m, cp=cand_perm: _wrap(
+                         HybridDIA.from_csr(
+                             cm, max_diags=max_diags,
+                             max_outliers=cap,
+                             prefer_pallas=prefer_pallas,
+                         ), cp
                      ))
                 )
     # an ELL-routed matrix runs ~1000x under roofline; only beyond ~50x the

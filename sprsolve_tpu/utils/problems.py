@@ -249,3 +249,49 @@ def poisson3d(nx: int, ny: int, nz: int, dtype=np.float32) -> CSR:
     np.add.at(indptr, rows + 1, 1)
     indptr = np.cumsum(indptr)
     return CSR.from_arrays(vals, cols.astype(np.int32), indptr, (n, n))
+
+
+def convection_diffusion3d(
+    nx: int, ny: int, nz: int, peclet: float = 20.0, dtype=np.float32
+) -> CSR:
+    """7-point convection-diffusion: −Δu + v·∇u, first-order upwind along x.
+
+    The standard NONSYMMETRIC hard case (no reference analog — the
+    reference's nonsymmetric surface is BiCGStab only): at grid Peclet
+    number ``peclet`` the x-coupling is strongly one-sided, plain
+    restarted GMRES stalls and short-recurrence methods wobble — the
+    regime the flexible inner-outer solvers exist for.  Banded (same 7
+    offsets as :func:`poisson3d`), so the DIA/Pallas kernels serve it.
+    """
+    n = nx * ny * nz
+    idx = np.arange(n, dtype=np.int64)
+    iz = idx % nz
+    iy = (idx // nz) % ny
+    ix = idx // (nz * ny)
+
+    c = float(peclet)
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 6.0 + c, dtype=dtype)]   # diffusion + upwind diag
+
+    for delta, mask, v in (
+        (-nz * ny, ix > 0, -1.0 - c),   # upwind: flow in +x direction
+        (nz * ny, ix < nx - 1, -1.0),
+        (-nz, iy > 0, -1.0),
+        (nz, iy < ny - 1, -1.0),
+        (-1, iz > 0, -1.0),
+        (1, iz < nz - 1, -1.0),
+    ):
+        rows.append(idx[mask])
+        cols.append(idx[mask] + delta)
+        vals.append(np.full(mask.sum(), v, dtype=dtype))
+
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    vals = np.concatenate(vals)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    return CSR.from_arrays(vals, cols.astype(np.int32), indptr, (n, n))

@@ -72,8 +72,9 @@ def test_optimize_reordered_solve_roundtrip():
 
 def test_optimize_ell_fallback_warns():
     """With every structured route disabled, the last-resort ELL path must
-    warn loudly (complex matrices now route to ComplexBSR by default, so
-    BSR has to be switched off to reach the fallback at all)."""
+    warn loudly (complex matrices now route to ComplexBSR by default, and
+    random patterns with this density can qualify for the band+outlier
+    hybrid, so both have to be switched off to reach the fallback)."""
     import warnings
 
     import scipy.sparse as sps
@@ -83,7 +84,8 @@ def test_optimize_ell_fallback_warns():
     A = sp.csr_from_scipy(S)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        op = sp.optimize(A, allow_reorder=False, wide_diags=0, allow_bsr=False)
+        op = sp.optimize(A, allow_reorder=False, wide_diags=0, allow_bsr=False,
+                         allow_hybrid=False)
     assert isinstance(op, sp.ELL)
     assert any(issubclass(x.category, RuntimeWarning) for x in w)
 
