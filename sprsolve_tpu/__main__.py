@@ -193,10 +193,24 @@ def _cmd_eig(args):
             precond = GridMGPrecond.from_csr(A, grid)
         else:
             precond = args.precond  # "jacobi": built inside eigsh
+    if args.interior == "rational" and args.sigma is None:
+        print("error: --interior rational needs --sigma", file=sys.stderr)
+        return 2
     t0 = time.perf_counter()
     try:
-        w, v = eigsh(A, k=args.k, sigma=args.sigma, which=which,
-                     tol=args.tol, maxiter=args.max_iter, precond=precond)
+        if args.sigma is not None and args.interior == "rational":
+            # FEAST-style contour filter: complex-shifted COCG inner
+            # solves, conditioning independent of eigenvalue crowding at
+            # sigma — the production deep-interior path (solvers/rational.py)
+            from .solvers import rational_filter_eigs
+
+            lam, X, _info = rational_filter_eigs(
+                A, args.k, args.sigma, tol=args.tol,
+            )
+            w, v = np.asarray(lam), np.asarray(X)
+        else:
+            w, v = eigsh(A, k=args.k, sigma=args.sigma, which=which,
+                         tol=args.tol, maxiter=args.max_iter, precond=precond)
     except NotImplementedError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -263,7 +277,16 @@ def main(argv=None):
     )
     p_eig.add_argument(
         "--sigma", type=float, default=None,
-        help="shift-invert target: return the k eigenvalues nearest this",
+        help="interior target: return the k eigenvalues nearest this",
+    )
+    p_eig.add_argument(
+        "--interior", default="shift-invert",
+        choices=["shift-invert", "rational"],
+        help="interior method with --sigma: 'shift-invert' (LOBPCG on "
+        "(A-sigma I)^-1, MINRES inner solves) or 'rational' (FEAST-style "
+        "contour filter, complex-shifted COCG inner solves — the fast "
+        "path when sigma sits deep in a dense spectrum; real-symmetric "
+        "matrices only)",
     )
     p_eig.add_argument("--tol", type=float, default=1e-8)
     p_eig.add_argument("--max-iter", type=int, default=200)

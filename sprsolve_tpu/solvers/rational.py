@@ -271,14 +271,16 @@ def rational_filter_eigs(
             inside &= lam_np < sigma
         n_in = int(inside.sum())
         best = (lam_np, rel_np, np.asarray(V))
-        # done when the (up to) k nearest-σ pairs inside the disc all meet
-        # tol — and, while auto-calibrating, the disc actually holds k
-        cand = np.where(inside)[0]
-        cand = cand[np.argsort(np.abs(lam_np[cand] - sigma))][:k]
+        # done when k pairs inside the disc meet tol.  Comparing the GOOD
+        # count (not the k-nearest-regardless) means a spurious boundary
+        # Ritz value — a "ghost", the classical FEAST artifact, which
+        # never converges — cannot block termination once k real pairs
+        # have converged around it.
+        n_good = int((inside & (rel_np <= tol)).sum())
         if (
-            len(cand) >= 1
-            and (len(cand) >= k or not calibrate)
-            and bool(np.all(rel_np[cand] <= tol))
+            n_in >= 1
+            and n_good >= min(k, n_in)
+            and (n_in >= k or not calibrate)
         ):
             break
         if calibrate and calib_left > 0 and (n_in < k or n_in > m0 - 2):
@@ -302,7 +304,14 @@ def rational_filter_eigs(
         y_is_random = False
 
     lam_np, rel_np, Vnp = best
-    order_keep = np.abs(lam_np - sigma) <= r_cur
+    # disc filter + GHOST filter: a Ritz value whose measured A-residual
+    # sits orders above tol is a spurious boundary artifact (the filter's
+    # soft edge), not an eigenpair — returning it as a "nearest" pair
+    # would be garbage-with-a-label.  Dropping it either leaves k real
+    # pairs (CONVERGED) or fewer (honest INSUFFICIENT_ITER).
+    order_keep = (np.abs(lam_np - sigma) <= r_cur) & (
+        rel_np <= max(10.0 * tol, np.sqrt(np.finfo(rdt).eps))
+    )
     # pack exactly like shift_invert_eigs (side filter, |λ−σ| order,
     # dedupe, measured-residual CONVERGED gate)
     return _select_nearest(
