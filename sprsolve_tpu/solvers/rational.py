@@ -271,16 +271,20 @@ def rational_filter_eigs(
             inside &= lam_np < sigma
         n_in = int(inside.sum())
         best = (lam_np, rel_np, np.asarray(V))
-        # done when k pairs inside the disc meet tol.  Comparing the GOOD
-        # count (not the k-nearest-regardless) means a spurious boundary
-        # Ritz value — a "ghost", the classical FEAST artifact, which
-        # never converges — cannot block termination once k real pairs
-        # have converged around it.
-        n_good = int((inside & (rel_np <= tol)).sum())
+        # done when the k nearest NON-GHOST pairs inside the disc meet
+        # tol.  A ghost — a spurious boundary Ritz value, the classical
+        # FEAST artifact, with a residual orders above tol that never
+        # improves — is excluded from the candidate set so it cannot
+        # block termination; a merely slow real pair (within the ghost
+        # threshold but above tol) still does, and the loop keeps
+        # iterating until it converges.
+        ghost_thr = max(10.0 * tol, float(np.sqrt(np.finfo(rdt).eps)))
+        cand = np.where(inside & (rel_np <= ghost_thr))[0]
+        cand = cand[np.argsort(np.abs(lam_np[cand] - sigma))][:k]
         if (
-            n_in >= 1
-            and n_good >= min(k, n_in)
-            and (n_in >= k or not calibrate)
+            len(cand) >= 1
+            and (len(cand) >= k or not calibrate)
+            and bool(np.all(rel_np[cand] <= tol))
         ):
             break
         if calibrate and calib_left > 0 and (n_in < k or n_in > m0 - 2):
