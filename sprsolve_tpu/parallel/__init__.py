@@ -19,7 +19,11 @@ from .dist_operator import (
     AllGatherELL, HaloDIA, MPKDIA, partition_csr, partition_dia,
     partition_dia_mpk,
 )
-from .eigen import distributed_lobpcg, distributed_shift_invert_eigs
+from .eigen import (
+    distributed_lobpcg,
+    distributed_rational_filter_eigs,
+    distributed_shift_invert_eigs,
+)
 from .pallas_dist import DistComplexPaddedDIA, DistPaddedDIA
 from .solve import distributed_solve, make_solver_specs
 
@@ -34,6 +38,7 @@ __all__ = [
     "partition_dia_mpk",
     "distributed_solve",
     "distributed_lobpcg",
+    "distributed_rational_filter_eigs",
     "distributed_shift_invert_eigs",
     "make_solver_specs",
     "multihost",

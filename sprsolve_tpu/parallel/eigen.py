@@ -356,3 +356,217 @@ def distributed_shift_invert_eigs(
     return _select_nearest(
         lam_all, rel_all, Xall, sigma, side, k, tol, total_its
     )
+
+
+def distributed_rational_filter_eigs(
+    A,
+    k: int,
+    sigma: float,
+    *,
+    radius: Optional[float] = None,
+    side: str = "both",
+    m0: Optional[int] = None,
+    n_quad: int = 6,
+    inner_tol: Optional[float] = None,
+    inner_max_iter: int = 600,
+    tol: float = 1e-6,
+    max_iter: int = 8,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "rows",
+    seed: int = 0,
+):
+    """The ``k`` eigenpairs of real-symmetric ``A`` nearest ``sigma``,
+    row-partitioned over ``mesh`` — the distributed composition of
+    :func:`~sprsolve_tpu.solvers.rational.rational_filter_eigs`.
+
+    Per subspace iteration (one ``shard_map`` program): each quadrature
+    node's complex-shifted system runs as a ``vmap``-batched COCG over the
+    m0 columns — the halo exchange and the COCG reductions are each ONE
+    batched collective per inner iteration regardless of m0 (the complex
+    matvec decomposes onto two REAL halo applications of the partitioned
+    operator); the tall-skinny orthonormalization is CholQR2 (Gram psum +
+    replicated Cholesky, twice — no gather); the m0×m0 Rayleigh–Ritz
+    problem is solved redundantly per device from replicated inputs.
+
+    Padding: pad rows get diagonal σ + 2·D (outside every disc the
+    calibration can reach), start at exactly zero in Y0, and stay zero
+    through filter/QR (the padded rows are decoupled and their rhs is
+    zero), so the Ritz spectrum on the real rows is exact.  The host-side
+    radius calibration loop and ghost-filtered selection are shared with
+    the single-chip driver.
+    """
+    from ..errors import IncompatibleMatrixFormat
+    from ..solvers.cocg import cocg
+    from ..solvers.eigs import _select_nearest
+    from ..solvers.rational import _ComplexShifted, _gauss_semicircle
+
+    if k < 1:
+        raise IncompatibleMatrixFormat(f"need k >= 1, got {k}")
+    if side not in ("both", "above", "below"):
+        raise IncompatibleMatrixFormat(
+            f"side must be 'both', 'above' or 'below', got {side!r}"
+        )
+    if m0 is None:
+        m0 = max(2 * k, k + 6)
+    if inner_tol is None:
+        inner_tol = min(tol * 1e-2, 1e-7)
+    mesh = auto_mesh(mesh, axis_name)
+    n_dev = mesh.shape[axis_name]
+
+    if isinstance(A, CSR):
+        bounds = _gershgorin_bounds(A)
+        n = A.shape[0]
+        A_parts = partition_csr(A, n_dev, axis_name)
+    elif isinstance(A, DIA):
+        bounds = _gershgorin_bounds(A)
+        n = A.shape[0]
+        A_parts = partition_dia(A, n_dev, axis_name)
+    else:
+        raise TypeError(
+            "distributed_rational_filter_eigs needs a host CSR/DIA "
+            f"container, got {type(A)}"
+        )
+    n_pad = A_parts.shape[0]
+    lo, hi = bounds
+    D = max(abs(hi - sigma), abs(lo - sigma), 1.0)
+    A_parts = _set_pad_diag(A_parts, n, sigma + 2.0 * D)
+
+    rdt = jnp.dtype(A_parts.dtype)
+    if rdt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
+        raise IncompatibleMatrixFormat(
+            "rational filter needs a real symmetric operator "
+            f"(dtype {rdt}); use distributed_shift_invert_eigs for complex"
+        )
+    cdt = jnp.complex64 if rdt == jnp.dtype(jnp.float32) else jnp.complex128
+
+    theta_np, w_np = _gauss_semicircle(int(n_quad))
+    theta = jnp.asarray(theta_np, rdt)
+    wq = jnp.asarray(w_np, rdt)
+    _hp = jax.lax.Precision.HIGHEST
+
+    rng = np.random.default_rng(seed)
+    Y0 = jnp.asarray(
+        np.concatenate(
+            [rng.standard_normal((n, m0)), np.zeros((n_pad - n, m0))], axis=0
+        ), rdt,
+    )
+
+    def step(A_, Y, r):
+        """One filter + Rayleigh–Ritz pass; runs INSIDE shard_map."""
+        Yc = Y.astype(cdt)
+        Q = jnp.zeros_like(Y)
+        its = jnp.int32(0)
+        for j in range(int(n_quad)):
+            zr = sigma + r * jnp.cos(theta[j])
+            zi = r * jnp.sin(theta[j])
+            opz = _ComplexShifted(A=A_, zr=zr, zi=zi)
+            solve_col = lambda y, o=opz: cocg(
+                o, y, tol=inner_tol, max_iter=inner_max_iter,
+                axis_name=axis_name,
+            )
+            Xj, infos = jax.vmap(solve_col, in_axes=1, out_axes=(1, 0))(Yc)
+            phase = jnp.exp(1j * theta[j].astype(cdt))
+            Q = Q + (r * wq[j]) * jnp.real(phase * Xj)
+            its = its + jnp.sum(infos.iterations).astype(jnp.int32)
+        est = jax.lax.psum(jnp.sum(Y * Q), axis_name) / Y.shape[1]
+
+        # CholQR2: Gram-psum + replicated Cholesky, twice (row-sharded
+        # tall-skinny QR without a gather; same scheme as distributed
+        # LOBPCG's basis refresh)
+        def cholqr(B):
+            G = jax.lax.psum(
+                jnp.matmul(B.T, B, precision=_hp), axis_name
+            )
+            # tiny ridge keeps the factor well-posed when the filter
+            # annihilates directions (noise fills them next pass)
+            eps_r = jnp.asarray(
+                np.finfo(np.dtype(rdt)).eps * 100, rdt
+            ) * jnp.trace(G)
+            L = jnp.linalg.cholesky(
+                G + eps_r * jnp.eye(G.shape[0], dtype=rdt)
+            )
+            return jax.scipy.linalg.solve_triangular(
+                L, B.T, lower=True
+            ).T
+
+        Qo = cholqr(cholqr(Q))
+        AQ = A_.matmat(Qo)
+        H = jax.lax.psum(jnp.matmul(Qo.T, AQ, precision=_hp), axis_name)
+        H = 0.5 * (H + H.T)
+        lam, W = jnp.linalg.eigh(H)
+        V = jnp.matmul(Qo, W, precision=_hp)
+        AV = jnp.matmul(AQ, W, precision=_hp)
+        R = AV - V * lam[None, :]
+        rel = jnp.sqrt(
+            jax.lax.psum(jnp.sum(R * R, axis=0), axis_name)
+        ) / jnp.maximum(jnp.abs(lam), jnp.finfo(rdt).tiny)
+        return V, lam, rel, its, est
+
+    a_spec = A_parts.pspec(axis_name)
+    sharded_step = jax.jit(jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(a_spec, P(axis_name, None), P()),
+        out_specs=(P(axis_name, None), P(), P(), P(), P()),
+        check_vma=False,
+    ))
+
+    if radius is not None:
+        r_cur = float(radius)
+        calibrate = False
+    else:
+        r_cur = max((hi - lo) * 1e-3, 1e-12)
+        calibrate = True
+
+    from .multihost import replicate
+
+    total_inner = 0
+    best = None
+    Y = Y0
+    y_is_random = True
+    target = k + max(1.0, (m0 - k) / 3.0)
+    calib_left = 6
+    for _ in range(int(max_iter)):
+        V, lam, rel, its, est = sharded_step(
+            A_parts, Y, jnp.asarray(r_cur, rdt)
+        )
+        total_inner += int(its)
+        lam_np = np.asarray(lam)
+        rel_np = np.asarray(rel)
+        inside = np.abs(lam_np - sigma) <= r_cur
+        if side == "above":
+            inside &= lam_np >= sigma
+        elif side == "below":
+            inside &= lam_np < sigma
+        n_in = int(inside.sum())
+        best = (lam_np, rel_np, V)
+        ghost_thr = max(10.0 * tol, float(np.sqrt(np.finfo(rdt).eps)))
+        cand = np.where(inside & (rel_np <= ghost_thr))[0]
+        cand = cand[np.argsort(np.abs(lam_np[cand] - sigma))][:k]
+        if (
+            len(cand) >= 1
+            and (len(cand) >= k or not calibrate)
+            and bool(np.all(rel_np[cand] <= tol))
+        ):
+            break
+        if calibrate and calib_left > 0 and (n_in < k or n_in > m0 - 2):
+            calib_left -= 1
+            count = float(n_in)
+            if y_is_random:
+                count = max(count, float(est))
+            count = max(count, 0.5)
+            r_cur *= float(np.clip(target / count, 0.05, 20.0))
+            Y = Y0
+            y_is_random = True
+            continue
+        Y = V
+        y_is_random = False
+
+    lam_np, rel_np, V = best
+    Vnp = np.asarray(replicate(V, mesh))[:n]
+    order_keep = (np.abs(lam_np - sigma) <= r_cur) & (
+        rel_np <= max(10.0 * tol, float(np.sqrt(np.finfo(rdt).eps)))
+    )
+    return _select_nearest(
+        lam_np[order_keep], rel_np[order_keep], Vnp[:, order_keep],
+        sigma, side, k, tol, total_inner,
+    )
