@@ -85,10 +85,20 @@ class HybridDIA:
         offs = cols - rows
         uniq, inv, counts = np.unique(offs, return_inverse=True,
                                       return_counts=True)
-        # keep the heaviest offsets; the main diagonal always stays in the
-        # core (preconditioners read it there)
+        # keep an offset as a band only when it EARNS its full n-length
+        # stream: a band costs ~n·itemsize/0.85 effective bytes per SpMV,
+        # one sidecar entry ~5850 (the measured scatter rate expressed as
+        # bytes at HBM speed — ops/optimize.py) — so an offset with fewer
+        # than ~n/1200 entries is cheaper spilled.  Without this floor,
+        # sparse junk offsets (1-2 entries each) filled the max_diags
+        # budget with near-empty bands and blew the Pallas kernel's VMEM
+        # at 1M rows (round-5 on-chip bench).
+        n_rows = m.shape[0]
+        itemsize = np.dtype(data.dtype).itemsize
+        min_count = max(4, int(n_rows * itemsize / 0.85 / 5850.0))
         order = np.argsort(counts)[::-1]
-        keep_ids = set(order[:max_diags].tolist())
+        order = order[counts[order] >= min_count][:max_diags]
+        keep_ids = set(order.tolist())
         zero_pos = np.searchsorted(uniq, 0)
         if zero_pos < len(uniq) and uniq[zero_pos] == 0:
             keep_ids.add(int(zero_pos))

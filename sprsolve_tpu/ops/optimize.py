@@ -76,13 +76,17 @@ def _dia_operator(m: CSR, max_diags: int, prefer_pallas: bool):
 
 
 def _hybrid_stats(m: CSR, max_diags: int):
-    """(core diag count, outlier count) of the heaviest-offsets split."""
+    """(core diag count, outlier count) of the heaviest-offsets split —
+    the same band-earns-its-stream selection HybridDIA.from_csr applies
+    (an offset with < ~n/1200 entries is cheaper spilled than streamed)."""
     rows = np.asarray(m.row_ids, np.int64)
     cols = np.asarray(m.indices, np.int64)
     _, counts = np.unique(cols - rows, return_counts=True)
     counts = np.sort(counts)[::-1]
-    nd_core = min(max_diags, len(counts))
-    return nd_core, int(counts[nd_core:].sum())
+    itemsize = np.dtype(np.asarray(m.data).dtype).itemsize
+    min_count = max(4, int(m.shape[0] * itemsize / 0.85 / _SCATTER_BYTES_EQ))
+    kept = counts[counts >= min_count][:max_diags]
+    return max(len(kept), 1), int(m.nnz - kept.sum())
 
 
 def _bsr_cost(m: CSR, itemsize: int, mem_limit: int):

@@ -369,6 +369,7 @@ def distributed_rational_filter_eigs(
     n_quad: int = 6,
     inner_tol: Optional[float] = None,
     inner_max_iter: int = 600,
+    contour_aspect: float = 3.0,
     tol: float = 1e-6,
     max_iter: int = 8,
     mesh: Optional[Mesh] = None,
@@ -439,9 +440,7 @@ def distributed_rational_filter_eigs(
         )
     cdt = jnp.complex64 if rdt == jnp.dtype(jnp.float32) else jnp.complex128
 
-    theta_np, w_np = _gauss_semicircle(int(n_quad))
-    theta = jnp.asarray(theta_np, rdt)
-    wq = jnp.asarray(w_np, rdt)
+    c_np, d_np = _gauss_semicircle(int(n_quad), float(contour_aspect))
     _hp = jax.lax.Precision.HIGHEST
 
     rng = np.random.default_rng(seed)
@@ -457,16 +456,15 @@ def distributed_rational_filter_eigs(
         Q = jnp.zeros_like(Y)
         its = jnp.int32(0)
         for j in range(int(n_quad)):
-            zr = sigma + r * jnp.cos(theta[j])
-            zi = r * jnp.sin(theta[j])
+            zr = sigma + r * jnp.asarray(c_np[j].real, rdt)
+            zi = r * jnp.asarray(c_np[j].imag, rdt)
             opz = _ComplexShifted(A=A_, zr=zr, zi=zi)
             solve_col = lambda y, o=opz: cocg(
                 o, y, tol=inner_tol, max_iter=inner_max_iter,
                 axis_name=axis_name,
             )
             Xj, infos = jax.vmap(solve_col, in_axes=1, out_axes=(1, 0))(Yc)
-            phase = jnp.exp(1j * theta[j].astype(cdt))
-            Q = Q + (r * wq[j]) * jnp.real(phase * Xj)
+            Q = Q + r * jnp.real(jnp.asarray(d_np[j], cdt) * Xj)
             its = its + jnp.sum(infos.iterations).astype(jnp.int32)
         est = jax.lax.psum(jnp.sum(Y * Q), axis_name) / Y.shape[1]
 

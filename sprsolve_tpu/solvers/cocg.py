@@ -33,8 +33,16 @@ from jax import lax
 
 from ..errors import Status
 from ..ops.operator import IdentityOperator
-from ..vecalg import axpy, dot, eps_for, norm2
+from ..vecalg import abs2, axpy, dot, eps_for, norm2
 from .common import check_shapes, make_info
+
+
+def _mag(v):
+    """|v| as sqrt(re²+im²) instead of jnp.abs: the TPU x64 rewriter
+    CHECK-fails on a vmapped f64 ``abs`` op (x64_rewriter.cc:3861, hit by
+    the rational filter's batched c128 inner solves); the sqrt/abs2 form
+    lowers cleanly and agrees to 1 ulp."""
+    return jnp.sqrt(abs2(v))
 
 
 class _State(NamedTuple):
@@ -125,15 +133,26 @@ def cocg(
                     s_ = s_._replace(
                         hist=s_.hist.at[s_.its].set(s_.r_norm / rhs_norm)
                     )
+                # live: this solve is still iterating.  Under vmap the
+                # while_loop runs until the SLOWEST batch element's cond
+                # clears, and the body executes for ALL elements — COCG's
+                # non-minimizing recurrence WANDERS after convergence (the
+                # indefinite bilinear form gives no monotonicity), so a
+                # converged column left un-frozen is DESTROYED by the
+                # overrun (found as garbage inner solves in the rational
+                # filter's batched path).  Freeze everything once the
+                # element's own exit condition holds.
+                live = (s_.status == Status.RUNNING) & (s_.r_norm > tol2)
                 # ρ-breakdown: the bilinear form is indefinite — rᵀz can
                 # vanish without convergence. Predicated terminal exit
                 # (the lax.cond-free discipline of bicgstab's hot body).
-                ok_rho = jnp.abs(s_.rho) > brk_tol
+                ok_rho = _mag(s_.rho) > brk_tol
 
                 q = A.matvec(s_.p)
                 pq = dot(s_.p, q, axis_name)
-                ok_pq = jnp.abs(pq) > brk_tol
+                ok_pq = _mag(pq) > brk_tol
                 ok = ok_rho & ok_pq
+                upd = live & ok
 
                 alpha = s_.rho / jnp.where(ok, pq, jnp.ones((), T))
                 x = axpy(alpha, s_.p, s_.x)
@@ -146,17 +165,19 @@ def cocg(
                 p = axpy(beta, s_.p, z_new)
 
                 return _State(
-                    x=jnp.where(ok, x, s_.x),
-                    r=jnp.where(ok, r_new, s_.r),
-                    z=jnp.where(ok, z_new, s_.z),
-                    p=jnp.where(ok, p, s_.p),
-                    rho=jnp.where(ok, rho_new, s_.rho),
-                    r_norm=jnp.where(ok, r_norm, s_.r_norm),
-                    its=jnp.where(ok, s_.its + 1, s_.its),
+                    x=jnp.where(upd, x, s_.x),
+                    r=jnp.where(upd, r_new, s_.r),
+                    z=jnp.where(upd, z_new, s_.z),
+                    p=jnp.where(upd, p, s_.p),
+                    rho=jnp.where(upd, rho_new, s_.rho),
+                    r_norm=jnp.where(upd, r_norm, s_.r_norm),
+                    its=jnp.where(upd, s_.its + 1, s_.its),
                     status=jnp.where(
-                        ok, s_.status, jnp.int32(Status.BREAKDOWN)
+                        live & ~ok, jnp.int32(Status.BREAKDOWN), s_.status
                     ),
-                    res=jnp.where(ok, s_.res, s_.r_norm / rhs_norm),
+                    res=jnp.where(
+                        live & ~ok, s_.r_norm / rhs_norm, s_.res
+                    ),
                     hist=s_.hist,
                 )
 

@@ -15,11 +15,25 @@ eigenspace inside a disc around σ by a quadrature of the resolvent,
     ρ(A)·Y = (1/2πi) ∮_C (zI − A)⁻¹ Y dz  ≈  Σⱼ wⱼ·Re[(zⱼI − A)⁻¹ Y],
 
 then run subspace iteration + Rayleigh–Ritz on the filtered block.  The
-decisive numerical point: every quadrature node zⱼ sits OFF the real axis,
-so each inner system is uniformly well conditioned — κ(zⱼI − A) ≈
-‖A‖ / |Im zⱼ| — *independent of how close real eigenvalues crowd σ*.  The
-inner solves trade one hard indefinite real system for a handful of easy
-complex-symmetric ones.
+numerical point: every quadrature node zⱼ sits OFF the real axis, so each
+inner system has κ(zⱼI − A) ≤ ‖A‖ / |Im zⱼ| regardless of how densely
+real eigenvalues crowd σ.  The inner solves trade one hard indefinite
+real system for a handful of complex-symmetric ones.
+
+**Regime (measured on chip, round 5 — be honest about both halves):**
+the filter's radius must hold ~k eigenvalues, so r ~ k·Δ with Δ the local
+eigenvalue SPACING at σ, and Im zⱼ ~ aspect·r.  When Δ is comfortably
+larger than machine-precision scales (moderate n, or σ in a sparse part
+of the spectrum), the inner COCG solves converge in O(√κ) iterations and
+the method delivers machine-grade interior pairs — CONVERGED at 5e-4 in
+~24 s at 32k rows on chip, exact to 1e-15 vs dense oracles on CPU.  Deep
+interior at LARGE n (262k: Δ ≈ 1.4e-4), the displaced spectrum
+(λ − σ) + i·Im z is both sign-INDEFINITE in its real part and dense on
+the scale of Im z, and Krylov iteration counts scale like √(κ₊·κ₋) ≈
+16,000 per node — FEAST needs *accurate* resolvents where shift-invert's
+LOBPCG tolerates sloppy ones (600-iteration MINRES applies), so
+:func:`shift_invert_eigs` owns that cell (25 s run at 262k/5e-4).  The
+full measurement chain is in BENCH_NOTES "Eigen".
 
 TPU-native composition (no new kernels needed):
 
@@ -52,6 +66,11 @@ import numpy as np
 
 from ..errors import IncompatibleMatrixFormat
 from .cocg import cocg
+
+# env-gated per-iteration diagnostics (radius walk, Ritz spectrum, residuals)
+import os as _os
+
+_RF_DEBUG = bool(_os.environ.get("SPRSOLVE_RF_DEBUG"))
 from .eigs import _select_nearest
 
 _HI = jax.lax.Precision.HIGHEST
@@ -93,18 +112,30 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _gauss_semicircle(n_quad: int):
-    """Gauss–Legendre nodes/weights for the upper semicircle contour.
+def _gauss_semicircle(n_quad: int, aspect: float = 1.0):
+    """Gauss–Legendre nodes/weights for the upper half of an ELLIPTIC
+    contour: z(θ) = σ + r·(cos θ + i·aspect·sin θ).
 
-    Returns (theta_j, w_j) with the filter applied as
-    ρ(A)Y ≈ Σⱼ wⱼ·Re[e^{iθⱼ}·(z(θⱼ)I − A)⁻¹ Y]·r,  z(θ) = σ + r·e^{iθ}:
-    ρ(λ) = (r/2π)∫₀^{2π} e^{iθ}/(z(θ)−λ) dθ and conjugate symmetry of the
-    real-λ integrand folds the lower half onto the upper (factor 2).
+    Returns complex constants ``(c_j, d_j)`` with z_j = σ + r·c_j and the
+    filter applied as  ρ(A)·Y ≈ Σⱼ Re[r·d_j · (z_jI − A)⁻¹ Y]:
+    ρ(λ) = (1/2πi)∮ dz/(z−λ), dz = r·(−sin θ + i·aspect·cos θ)dθ, and
+    conjugate symmetry of the real-λ integrand folds the lower half onto
+    the upper (factor 2).
+
+    ``aspect`` is the decisive conditioning knob at scale: for REAL
+    spectra only the contour's real-axis crossings σ ± r matter (ρ is 1
+    on (σ−r, σ+r) and 0 outside for ANY height), while the inner systems'
+    κ ≈ ‖A‖/|Im z_j| shrinks ∝ aspect.  A taller contour softens the
+    filter's edge slightly (slower subspace convergence for pairs hugging
+    the boundary) — a measured win ≥2-3× in inner iterations at the 262k
+    bench scale.
     """
     t, v = np.polynomial.legendre.leggauss(n_quad)
     theta = np.pi * (t + 1.0) / 2.0          # (0, π)
-    w = v * np.pi / 2.0 * (1.0 / np.pi)      # (r/2π)·2·dθ/dt, r applied later
-    return theta, w
+    c = np.cos(theta) + 1j * aspect * np.sin(theta)
+    # (1/2πi)·2·(π/2)·v_j·dz/dθ / r  =  (v_j/2i)·(−sinθ + i·aspect·cosθ)
+    d = (v / 2.0) * (aspect * np.cos(theta) + 1j * np.sin(theta))
+    return c, d
 
 
 def rational_filter_eigs(
@@ -118,6 +149,9 @@ def rational_filter_eigs(
     n_quad: int = 6,
     inner_tol: Optional[float] = None,
     inner_max_iter: int = 600,
+    contour_aspect: float = 3.0,
+    inner_dtype=None,
+    inner_refine: int = 0,
     tol: float = 1e-6,
     max_iter: int = 8,
     optimize_layout: bool = True,
@@ -139,6 +173,29 @@ def rational_filter_eigs(
     disc for the classical FEAST convergence argument to apply.
     ``max_iter`` caps *subspace* iterations (FEAST typically needs 2-4
     once the radius is right).
+
+    ``contour_aspect`` (default 3): vertical stretch of the elliptic
+    contour.  For real spectra only the crossings σ ± r matter, while the
+    inner systems' κ ≈ ‖A‖/|Im z| shrinks ∝ aspect — the cheap
+    conditioning knob.  ``inner_max_iter`` must cover the NEAR-AXIS
+    node: budget ≈ √κ·ln(2/inner_tol)/2 with
+    κ ≈ (hi−lo)/(r·aspect·sin θ_min); the tol exit makes a generous
+    ceiling free.
+
+    At large scale + small radius, κ exceeds what f32 Krylov can resolve
+    (attainable residual ≈ ε·κ — the measured wall at the 262k bench
+    workload).  Two escapes:
+
+    - ``inner_refine=p`` (the TPU production path): each node solve runs
+      ``p`` mixed-precision refinement passes — c64 COCG inner sweeps +
+      straight-line complex128 true-residual corrections on the XLA f64
+      DIA operator (no f64 while_loops, which this backend's x64
+      rewriter cannot compile).  The f32 solver floor ε·κ drops to the
+      ~1e-7 representation floor at ~2-3× the f32 iteration count.
+      Needs ``jax_enable_x64`` and a CSR/CSC input.
+    - ``inner_dtype="float64"``: run the whole filter in f64 (CPU-grade
+      backends; on this TPU backend the x64 rewriter SIGABRTs on
+      vmapped f64 while-loop internals — prefer ``inner_refine``).
     """
     if k < 1:
         raise IncompatibleMatrixFormat(f"need k >= 1, got {k}")
@@ -160,7 +217,46 @@ def rational_filter_eigs(
     bounds = None
     if isinstance(op, CSC):
         op = op.to_csr()
-    if isinstance(op, CSR):
+    op64 = None
+    if inner_refine:
+        if not isinstance(op, CSR):
+            raise IncompatibleMatrixFormat(
+                "inner_refine needs a CSR/CSC input (the f64 residual "
+                "operator is built from it)"
+            )
+        if not jax.config.jax_enable_x64:
+            raise IncompatibleMatrixFormat(
+                "inner_refine needs jax_enable_x64 (f64 true residuals)"
+            )
+        import dataclasses as _dc
+
+        src64 = _dc.replace(
+            op, data=jnp.asarray(np.asarray(op.data), jnp.float64)
+        )
+        try:
+            op64 = src64.to_dia()    # straight-line XLA f64 SpMM only
+        except ValueError:
+            op64 = src64
+    if inner_dtype is not None:
+        idt = jnp.dtype(inner_dtype)
+        if not isinstance(op, CSR):
+            raise IncompatibleMatrixFormat(
+                "inner_dtype override needs a CSR/CSC input (the operator "
+                "is rebuilt at that dtype)"
+            )
+        if idt == jnp.dtype(jnp.float64) and not jax.config.jax_enable_x64:
+            raise IncompatibleMatrixFormat(
+                "inner_dtype='float64' needs jax_enable_x64"
+            )
+        import dataclasses as _dc
+
+        bounds = gershgorin_bounds(op)
+        src = _dc.replace(op, data=jnp.asarray(np.asarray(op.data), idt))
+        try:
+            op = src.to_dia()     # XLA DIA path at the requested dtype
+        except ValueError:
+            op = src
+    elif isinstance(op, CSR):
         bounds = gershgorin_bounds(op)
         if optimize_layout:
             from ..ops.optimize import optimize as _optimize
@@ -184,38 +280,103 @@ def rational_filter_eigs(
             f"(dtype {rdt}); for Hermitian complex use shift_invert_eigs"
         )
 
-    theta_np, w_np = _gauss_semicircle(int(n_quad))
-    theta = jnp.asarray(theta_np, rdt)
-    wq = jnp.asarray(w_np, rdt)
+    c_np, d_np = _gauss_semicircle(int(n_quad), float(contour_aspect))
 
     rng = np.random.default_rng(seed)
     Y0 = jnp.asarray(rng.standard_normal((n, m0)), rdt)
 
-    def _one_node(Yc, zr, zi):
+    def _solve_node(Yc, zr, zi):
         opz = _ComplexShifted(A=op, zr=zr, zi=zi)
         solve_col = lambda y: cocg(
             opz, y, tol=inner_tol, max_iter=inner_max_iter
         )
         X, infos = jax.vmap(solve_col, in_axes=1, out_axes=(1, 0))(Yc)
-        return X, jnp.sum(infos.iterations)
+        return X, jnp.sum(infos.iterations).astype(jnp.int32)
+
+    def _one_node(Yc, zr, zi):
+        if not inner_refine:
+            return _solve_node(Yc, zr, zi)
+        # mixed-precision refinement: the c64 COCG sweep floors out at
+        # ~ε₃₂·κ relative accuracy; a straight-line f64 true residual
+        # against the f64 operator restarts the sweep on the correction
+        # and multiplies the accuracy per pass.  The f64 state is carried
+        # as REAL PLANES — this TPU backend's x64 rewriter can compile
+        # neither f64 control flow nor c64↔c128 converts, but plain f64
+        # SpMM and real f32↔f64 converts are fine.  The result returns
+        # as c64: ~1e-7 representation accuracy, far below the filter's
+        # needs.
+        zr64 = zr.astype(jnp.float64)
+        zi64 = zi.astype(jnp.float64)
+        cr = jnp.float32 if Yc.dtype == jnp.complex64 else jnp.float64
+
+        X, its = _solve_node(Yc, zr, zi)
+        Xr = jnp.real(X).astype(jnp.float64)
+        Xi = jnp.imag(X).astype(jnp.float64)
+        Yr = jnp.real(Yc).astype(jnp.float64)
+        Yi = jnp.imag(Yc).astype(jnp.float64)
+        for _ in range(int(inner_refine)):
+            AXr = op64.matmat(Xr)
+            AXi = op64.matmat(Xi)
+            Rr = Yr - (zr64 * Xr - zi64 * Xi - AXr)
+            Ri = Yi - (zr64 * Xi + zi64 * Xr - AXi)
+            Rc = Rr.astype(cr) + 1j * Ri.astype(cr)
+            D, itd = _solve_node(Rc, zr, zi)
+            Xr = Xr + jnp.real(D).astype(jnp.float64)
+            Xi = Xi + jnp.imag(D).astype(jnp.float64)
+            its = its + itd
+        # return f64 PLANES: the resolvent is near-singular, so ‖X‖ ~
+        # ‖Y‖/Im z ≫ ‖Y‖ and an f32 cast HERE injects ε₃₂·‖X‖ noise that
+        # survives the quadrature's cross-node cancellation — the measured
+        # few-e-3 Ritz floor that made refinement look like a no-op.  The
+        # caller accumulates Q in f64 (where the cancellation happens) and
+        # only then casts the O(‖Y‖)-sized Q down.
+        return (Xr, Xi), its
 
     @partial(jax.jit, static_argnames=())
     def filter_and_ritz(Y, r):
         """One subspace iteration: Q = ρ(A)Y, Rayleigh–Ritz on Q."""
         cdt = jnp.complex64 if rdt == jnp.dtype(jnp.float32) else jnp.complex128
         Yc = Y.astype(cdt)
-        Q = jnp.zeros_like(Y)
         its = jnp.int32(0)
-        for j in range(int(n_quad)):       # static unroll, n_quad small
-            zr = sigma + r * jnp.cos(theta[j])
-            zi = r * jnp.sin(theta[j])
-            Xj, itj = _one_node(Yc, zr, zi)
-            phase = jnp.exp(1j * theta[j].astype(cdt))
-            Q = Q + (r * wq[j]) * jnp.real(phase * Xj)
-            its = its + itj.astype(jnp.int32)
+        if inner_refine:
+            # f64-plane accumulation (see _one_node): the per-node X are
+            # near-singular-sized and cancel across nodes — sum first,
+            # cast the O(‖Y‖)-sized Q after
+            Q64 = jnp.zeros(Y.shape, jnp.float64)
+            r64 = r.astype(jnp.float64)
+            for j in range(int(n_quad)):
+                zr = sigma + r * jnp.asarray(c_np[j].real, rdt)
+                zi = r * jnp.asarray(c_np[j].imag, rdt)
+                (Xr64, Xi64), itj = _one_node(Yc, zr, zi)
+                Q64 = Q64 + r64 * (
+                    float(d_np[j].real) * Xr64 - float(d_np[j].imag) * Xi64
+                )
+                its = its + itj.astype(jnp.int32)
+            Q = Q64.astype(rdt)
+        else:
+            Q = jnp.zeros_like(Y)
+            for j in range(int(n_quad)):   # static unroll, n_quad small
+                zr = sigma + r * jnp.asarray(c_np[j].real, rdt)
+                zi = r * jnp.asarray(c_np[j].imag, rdt)
+                Xj, itj = _one_node(Yc, zr, zi)
+                Q = Q + r * jnp.real(jnp.asarray(d_np[j], cdt) * Xj)
+                its = its + itj.astype(jnp.int32)
         # orthonormalize the filtered block (random noise fills directions
-        # the filter killed — harmless, RR sorts them outside the disc)
-        Qo, _ = jnp.linalg.qr(Q)
+        # the filter killed — harmless, RR sorts them outside the disc).
+        # CholQR2 instead of tall QR: only m0×m0 factorizations (tall f64
+        # QR SIGABRTs the TPU compiler; Cholesky of the Gram doesn't),
+        # with a tiny trace-scaled ridge for filter-annihilated directions
+        def _cholqr(B):
+            G = jnp.matmul(B.T, B, precision=_HI)
+            eps_r = jnp.asarray(
+                np.finfo(np.dtype(rdt)).eps * 100, rdt
+            ) * jnp.trace(G)
+            L = jnp.linalg.cholesky(
+                G + eps_r * jnp.eye(G.shape[0], dtype=rdt)
+            )
+            return jax.scipy.linalg.solve_triangular(L, B.T, lower=True).T
+
+        Qo = _cholqr(_cholqr(Q))
         AQ = (
             op.matmat(Qo)
             if hasattr(op, "matmat")
@@ -271,6 +432,15 @@ def rational_filter_eigs(
             inside &= lam_np < sigma
         n_in = int(inside.sum())
         best = (lam_np, rel_np, np.asarray(V))
+        if _RF_DEBUG:
+            import sys as _sys
+
+            _o = np.argsort(np.abs(lam_np - sigma))[:6]
+            print(
+                f"rf: r={r_cur:.3e} n_in={n_in} est={float(est):.1f} "
+                f"lam6={np.round(lam_np[_o], 6)} rel6={rel_np[_o]}",
+                file=_sys.stderr, flush=True,
+            )
         # done when the k nearest NON-GHOST pairs inside the disc meet
         # tol.  A ghost — a spurious boundary Ritz value, the classical
         # FEAST artifact, with a residual orders above tol that never
