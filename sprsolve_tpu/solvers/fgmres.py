@@ -16,9 +16,11 @@ TPU-native design (same skeleton as ``gmres.py``, which documents the CGS2 /
 Givens / restart choices):
 
 - One extra ``(m, size)`` carry block Z — the only state delta vs GMRES.
-  The per-step cost delta is zero: right-preconditioned GMRES already pays
-  one M apply per step; FGMRES just *keeps* the result instead of
-  re-applying M once at cycle end (FGMRES actually saves that one apply).
+  Per step, right-preconditioned GMRES already pays the one M apply;
+  FGMRES *keeps* the result instead of re-applying M once at cycle end.
+  Measured on chip (1M-row convection-diffusion, BENCH_NOTES
+  "FGMRES / inner-outer"): ~12% wall overhead vs GMRES at equal
+  iterations — the Z-block store traffic, not extra M applies.
 - The x-update is ``y·Z`` — one (m,)×(m, size) matmul on the MXU, mirroring
   the ``y·V`` reconstruction.
 - Everything runs inside ``lax.while_loop``s; an inner-solver M compiles to
