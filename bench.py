@@ -1130,10 +1130,16 @@ def main():
             it_ = max(int(info_.iterations), 1)
             from sprsolve_tpu.errors import Status as _St2
 
+            t_str = (
+                f"{t_*1e3:.1f} ms"
+                if t_ > 2e-3
+                else "below the ~30 ms tunnel-RTT resolution (see the "
+                     "solve table for this path's chained timing)"
+            )
             log(
                 f"fgmres-bench {tag}: {_St2(int(info_.status)).name} "
                 f"{it_} iters (~{it_*spmv_per_it:.0f} SpMVs), res "
-                f"{float(info_.residual):.2e}, {t_*1e3:.1f} ms"
+                f"{float(info_.residual):.2e}, {t_str}"
             )
             return t_, it_
 

@@ -186,6 +186,19 @@ def batched(solver):
     carries *per-column* ``iterations``/``residual``/``status`` arrays of
     shape (k,).  Use :func:`block_cg` for SPD systems (shared Krylov space +
     SpMM bandwidth); use this for method generality.
+
+    CAVEAT — lockstep overrun: under ``vmap`` a ``while_loop`` body keeps
+    executing for EVERY column until the slowest one finishes.  For
+    minimizing recurrences (cg, minres) the extra iterations are benign
+    (the iterate keeps improving; its/status are already predicated), and
+    :func:`~sprsolve_tpu.solvers.cocg.cocg` freezes each column at its own
+    exit (its non-minimizing recurrence *wanders* after convergence —
+    found the hard way by the rational filter's batched inner solves,
+    round 5).  Other oscillating short recurrences (bicgstab, cgs, idrs)
+    are NOT frozen: their reported per-column residual is still honest
+    (it is re-measured at exit), but a strong iteration-count imbalance
+    across columns can degrade the early finishers' iterates in f32 —
+    prefer per-column solves or cg/minres/cocg when columns differ wildly.
     """
 
     def run(A, B, X0=None, **kwargs):

@@ -151,3 +151,48 @@ def test_refine_complex_with_cocg_inner():
     dense = np.asarray(A.todense())
     r = dense @ np.asarray(x) - rhs
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-11
+
+
+def test_vmapped_columns_freeze_at_own_convergence():
+    """Round-5 regression: under vmap the while_loop body runs until the
+    SLOWEST column finishes, and COCG's non-minimizing recurrence wanders
+    after convergence — an un-frozen early-converged column came back as
+    garbage (found by the rational filter's batched inner solves).  Each
+    column must stop at its own exit with its reported residual equal to
+    the true residual of the returned iterate."""
+    import dataclasses
+
+    from sprsolve_tpu.solvers.rational import _ComplexShifted
+    from sprsolve_tpu.utils import problems
+
+    A, _ = problems.sym_grid_laplacian((32, 32))
+    A = dataclasses.replace(A, data=-A.data)
+    A32 = dataclasses.replace(
+        A, data=np.asarray(A.data).astype(np.float32)
+    ).to_dia()
+    n = 1024
+    opz = _ComplexShifted(
+        A=A32, zr=jnp.float32(2.0), zi=jnp.float32(3e-4)
+    )
+    rng = np.random.default_rng(0)
+    Y = (rng.standard_normal((n, 4)) + 1j * rng.standard_normal((n, 4))
+         ).astype(np.complex64)
+    # column 0 trivial: rhs manufactured from a known solution, so it
+    # converges in O(100) iterations while the others need ~1000
+    e = rng.standard_normal(n).astype(np.float32)
+    Y[:, 0] = np.asarray(opz.matvec(jnp.asarray(e, jnp.complex64)))
+    Yj = jnp.asarray(Y)
+
+    solve = lambda y: sp.cocg(opz, y, tol=1e-2, max_iter=3000)
+    X, infos = jax.vmap(solve, in_axes=1, out_axes=(1, 0))(Yj)
+
+    its = np.asarray(infos.iterations)
+    assert its[0] < its[1:].min() / 2, its  # col 0 genuinely froze early
+    for c in range(4):
+        r = np.asarray(opz.matvec(X[:, c])) - Y[:, c]
+        tr = np.linalg.norm(r) / np.linalg.norm(Y[:, c])
+        assert tr <= 1.1e-2, (c, tr)
+        # reported == true residual of the returned (frozen) iterate
+        np.testing.assert_allclose(
+            float(infos.residual[c]), tr, rtol=1e-2
+        )
