@@ -169,7 +169,7 @@ def rational_filter_eigs(
     auto-calibrates: start from a small fraction of the Gershgorin width
     and expand/shrink between subspace iterations until the disc holds
     roughly ``k``–``m0`` Ritz values.  ``m0`` (subspace size, default
-    ``max(2k, k+4)``) must exceed the number of eigenvalues in the final
+    ``max(2k, k+6)``) must exceed the number of eigenvalues in the final
     disc for the classical FEAST convergence argument to apply.
     ``max_iter`` caps *subspace* iterations (FEAST typically needs 2-4
     once the radius is right).
