@@ -589,6 +589,29 @@ class PaddedDIA:
         return bands3
 
     @staticmethod
+    def _fit_block_rows(block_rows, nbands, lanes, hr, band_isz):
+        """Shrink block_rows until the per-block VMEM working set fits the
+        64M scoped budget: ~2× double-buffered band blocks at their STORED
+        (possibly narrowed) width + the x window + y.  Wide-band matrices
+        (e.g. 32 unnarrowable f32 bands at 1M rows) used to compile-fail
+        with a scoped-vmem OOM at the shipped (1024, 256) geometry — found
+        by the round-5 hybrid bench before its band floor existed; a
+        legitimately wide band hits the same wall, so the geometry must
+        adapt rather than the kernel erroring out."""
+        budget = 52 * 1024 * 1024   # margin under the 64M scoped limit
+        br = int(block_rows)
+        while br > 8:
+            staged = (
+                2 * nbands * br * lanes * band_isz      # band blocks (dbuf)
+                + 2 * (br + 2 * hr) * lanes * 4          # x window (dbuf)
+                + br * lanes * 4                         # y block
+            )
+            if staged <= budget:
+                break
+            br //= 2
+        return max(br, 8)
+
+    @staticmethod
     def from_dia(
         m: DIA,
         lanes: int = None,
@@ -622,6 +645,10 @@ class PaddedDIA:
         )
         if narrow:
             bands3 = PaddedDIA._narrow_bands(bands3)
+        block_rows = PaddedDIA._fit_block_rows(
+            block_rows, bands.shape[0], lanes, hr,
+            np.dtype(bands3.dtype).itemsize,
+        )
         return PaddedDIA(
             bands3=jnp.asarray(bands3),
             offsets=m.offsets,
@@ -830,12 +857,29 @@ class ComplexPaddedDIA:
             if block_rows is None:
                 block_rows = (cfg or {}).get("block_rows", COMPLEX_BLOCK_ROWS)
         bands = np.asarray(m.bands)
-        mk = lambda b: PaddedDIA.from_dia(
+        mk = lambda b, br: PaddedDIA.from_dia(
             DIA(bands=b, offsets=m.offsets, shape=m.shape),
             lanes=lanes,
-            block_rows=block_rows,
+            block_rows=br,
         )
-        return ComplexPaddedDIA(re=mk(bands.real), im=mk(bands.imag))
+        re = mk(bands.real, block_rows)
+        im = mk(bands.imag, block_rows)
+        # the two-plane kernel stages BOTH planes at once (~2× the real
+        # kernel's working set) and needs matching geometry; re-fit a
+        # shared block_rows for the combined budget (each plane may have
+        # narrowed to a different stored width)
+        isz = max(
+            np.dtype(np.asarray(re.bands3).dtype).itemsize,
+            np.dtype(np.asarray(im.bands3).dtype).itemsize,
+        )
+        br_fit = PaddedDIA._fit_block_rows(
+            min(re.block_rows, im.block_rows),
+            2 * len(m.offsets), lanes, re.hr, isz,
+        )
+        if br_fit != re.block_rows or br_fit != im.block_rows:
+            re = mk(bands.real, br_fit)
+            im = mk(bands.imag, br_fit)
+        return ComplexPaddedDIA(re=re, im=im)
 
     @staticmethod
     def from_csr(m, lanes: int = None, block_rows: int = None):
