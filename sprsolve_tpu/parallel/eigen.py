@@ -370,6 +370,7 @@ def distributed_rational_filter_eigs(
     inner_tol: Optional[float] = None,
     inner_max_iter: int = 600,
     contour_aspect: float = 3.0,
+    inner_refine: int = 0,
     tol: float = 1e-6,
     max_iter: int = 8,
     mesh: Optional[Mesh] = None,
@@ -440,6 +441,31 @@ def distributed_rational_filter_eigs(
         )
     cdt = jnp.complex64 if rdt == jnp.dtype(jnp.float32) else jnp.complex128
 
+    # mixed-precision inner refinement (same scheme as the single-chip
+    # driver, solvers/rational.py): a partitioned f64 copy serves the
+    # straight-line true-residual corrections and the f64 quadrature
+    # accumulation — no f64 control flow, which TPU's x64 rewriter
+    # cannot compile
+    A64_parts = None
+    if inner_refine:
+        if not jax.config.jax_enable_x64:
+            raise IncompatibleMatrixFormat(
+                "inner_refine needs jax_enable_x64 (f64 true residuals)"
+            )
+        import dataclasses as _dc
+
+        if isinstance(A, CSR):
+            src64 = _dc.replace(
+                A, data=jnp.asarray(np.asarray(A.data), jnp.float64)
+            )
+            A64_parts = partition_csr(src64, n_dev, axis_name)
+        else:
+            src64 = _dc.replace(
+                A, bands=jnp.asarray(np.asarray(A.bands), jnp.float64)
+            )
+            A64_parts = partition_dia(src64, n_dev, axis_name)
+        A64_parts = _set_pad_diag(A64_parts, n, sigma + 2.0 * D)
+
     c_np, d_np = _gauss_semicircle(int(n_quad), float(contour_aspect))
     _hp = jax.lax.Precision.HIGHEST
 
@@ -450,22 +476,62 @@ def distributed_rational_filter_eigs(
         ), rdt,
     )
 
-    def step(A_, Y, r):
+    def step(A_, A64_, Y, r):
         """One filter + Rayleigh–Ritz pass; runs INSIDE shard_map."""
         Yc = Y.astype(cdt)
-        Q = jnp.zeros_like(Y)
         its = jnp.int32(0)
-        for j in range(int(n_quad)):
-            zr = sigma + r * jnp.asarray(c_np[j].real, rdt)
-            zi = r * jnp.asarray(c_np[j].imag, rdt)
+
+        def solve_node(zr, zi, rhs):
             opz = _ComplexShifted(A=A_, zr=zr, zi=zi)
             solve_col = lambda y, o=opz: cocg(
                 o, y, tol=inner_tol, max_iter=inner_max_iter,
                 axis_name=axis_name,
             )
-            Xj, infos = jax.vmap(solve_col, in_axes=1, out_axes=(1, 0))(Yc)
-            Q = Q + r * jnp.real(jnp.asarray(d_np[j], cdt) * Xj)
-            its = its + jnp.sum(infos.iterations).astype(jnp.int32)
+            X, infos = jax.vmap(solve_col, in_axes=1, out_axes=(1, 0))(rhs)
+            return X, jnp.sum(infos.iterations).astype(jnp.int32)
+
+        if inner_refine:
+            # f64-plane refinement + f64 quadrature accumulation (the
+            # per-node resolvents are near-singular-sized; their
+            # cross-node cancellation must happen in f64 — see
+            # solvers/rational.py for the measured failure mode)
+            cr = jnp.float32 if cdt == jnp.complex64 else jnp.float64
+            Q64 = jnp.zeros(Y.shape, jnp.float64)
+            r64 = r.astype(jnp.float64)
+            Yr64 = jnp.real(Yc).astype(jnp.float64)
+            Yi64 = jnp.imag(Yc).astype(jnp.float64)
+            for j in range(int(n_quad)):
+                zr = sigma + r * jnp.asarray(c_np[j].real, rdt)
+                zi = r * jnp.asarray(c_np[j].imag, rdt)
+                zr64 = zr.astype(jnp.float64)
+                zi64 = zi.astype(jnp.float64)
+                X, itj = solve_node(zr, zi, Yc)
+                its = its + itj
+                Xr = jnp.real(X).astype(jnp.float64)
+                Xi = jnp.imag(X).astype(jnp.float64)
+                for _ in range(int(inner_refine)):
+                    AXr = A64_.matmat(Xr)
+                    AXi = A64_.matmat(Xi)
+                    Rr = Yr64 - (zr64 * Xr - zi64 * Xi - AXr)
+                    Ri = Yi64 - (zr64 * Xi + zi64 * Xr - AXi)
+                    Dx, itd = solve_node(
+                        zr, zi, Rr.astype(cr) + 1j * Ri.astype(cr)
+                    )
+                    Xr = Xr + jnp.real(Dx).astype(jnp.float64)
+                    Xi = Xi + jnp.imag(Dx).astype(jnp.float64)
+                    its = its + itd
+                Q64 = Q64 + r64 * (
+                    float(d_np[j].real) * Xr - float(d_np[j].imag) * Xi
+                )
+            Q = Q64.astype(rdt)
+        else:
+            Q = jnp.zeros_like(Y)
+            for j in range(int(n_quad)):
+                zr = sigma + r * jnp.asarray(c_np[j].real, rdt)
+                zi = r * jnp.asarray(c_np[j].imag, rdt)
+                Xj, itj = solve_node(zr, zi, Yc)
+                Q = Q + r * jnp.real(jnp.asarray(d_np[j], cdt) * Xj)
+                its = its + itj
         est = jax.lax.psum(jnp.sum(Y * Q), axis_name) / Y.shape[1]
 
         # CholQR2: Gram-psum + replicated Cholesky, twice (row-sharded
@@ -501,9 +567,12 @@ def distributed_rational_filter_eigs(
         return V, lam, rel, its, est
 
     a_spec = A_parts.pspec(axis_name)
+    a64_spec = (
+        None if A64_parts is None else A64_parts.pspec(axis_name)
+    )
     sharded_step = jax.jit(jax.shard_map(
         step, mesh=mesh,
-        in_specs=(a_spec, P(axis_name, None), P()),
+        in_specs=(a_spec, a64_spec, P(axis_name, None), P()),
         out_specs=(P(axis_name, None), P(), P(), P(), P()),
         check_vma=False,
     ))
@@ -525,7 +594,7 @@ def distributed_rational_filter_eigs(
     calib_left = 6
     for _ in range(int(max_iter)):
         V, lam, rel, its, est = sharded_step(
-            A_parts, Y, jnp.asarray(r_cur, rdt)
+            A_parts, A64_parts, Y, jnp.asarray(r_cur, rdt)
         )
         total_inner += int(its)
         lam_np = np.asarray(lam)

@@ -90,3 +90,26 @@ def test_rejects_complex():
 
     with pytest.raises((IncompatibleMatrixFormat, TypeError)):
         distributed_rational_filter_eigs(A, 2, 1.0)
+
+
+def test_inner_refine_on_f32_operator_over_mesh():
+    """Mixed-precision inner refinement over the mesh: an f32 operator +
+    inner_refine reaches tolerances the pure-f32 path cannot at stressed
+    conditioning (the same scheme as the single-chip driver — c64 COCG
+    sweeps + partitioned-f64 straight-line corrections + f64 quadrature
+    accumulation)."""
+    A = _spd_grid(24)
+    A32 = dataclasses.replace(
+        A, data=np.asarray(A.data).astype(np.float32)
+    )
+    S, w = _dense_eigs(A)
+    sigma = 2.0
+    lam, X, info = distributed_rational_filter_eigs(
+        A32, 3, sigma, tol=5e-5, inner_tol=1e-3, inner_max_iter=1500,
+        inner_refine=2, seed=1,
+    )
+    assert int(info.status) == Status.CONVERGED
+    want = np.sort(w[np.argsort(np.abs(w - sigma))[:3]])
+    np.testing.assert_allclose(
+        np.sort(np.asarray(lam)), want, atol=5e-4
+    )
