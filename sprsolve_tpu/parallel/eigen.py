@@ -43,7 +43,6 @@ from ..utils.bounds import gershgorin_bounds
 from .dist_operator import (
     AllGatherELL, HaloDIA, auto_mesh, partition_csr, partition_dia,
 )
-from .solve import make_solver_specs
 
 
 _gershgorin_bounds = gershgorin_bounds  # shared host-side estimate
