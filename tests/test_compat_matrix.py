@@ -128,14 +128,24 @@ def test_spd_with_nonsymmetric_M_fails_cleanly(method):
 @pytest.mark.parametrize("M", [None, "jacobi"])
 @pytest.mark.parametrize("method", _COMPLEX_SYM)
 def test_complex_symmetric_cells(method, M):
+    _complex_sym_cell(method, M)
+
+
+def test_ca_bicgstab_complex_cell():
+    """The s-step nonsymmetric solver also serves complex systems through
+    solve() (Gershgorin-default basis; no M — covered by _TYPED_REJECT)."""
+    _complex_sym_cell("ca_bicgstab", None, tol=1e-10, bound=1e-8)
+
+
+def _complex_sym_cell(method, M, tol=1e-12, bound=1e-9):
     from sprsolve_tpu.utils import problems
 
     A, rhs, _d = problems.complex_symmetric_grid_with_diag((8, 8))
     x_known = np.array([complex(i, j) for i in range(8) for j in range(8)])
-    x, info = sp.solve(A, rhs, method=method, M=M, tol=1e-12,
+    x, info = sp.solve(A, rhs, method=method, M=M, tol=tol,
                        max_iter=2000)
     info.raise_if_error()
-    assert np.abs(np.asarray(x) - x_known).max() < 1e-9
+    assert np.abs(np.asarray(x) - x_known).max() < bound
 
 
 @pytest.mark.parametrize("method", sorted(_SOLVERS))
